@@ -1,0 +1,95 @@
+"""Univariate KZG over BN254.
+
+Mirrors reference joltworks/src/poly/commitment/hyperkzg/kzg.rs: an SRS of
+G1 powers (tau^i * G1) plus [G2, tau * G2]; commitment = MSM of coefficients
+with the G1 powers; opening witness = commit of the synthetic-division
+quotient by (X - u).
+
+SRS generation here is seed-derived (tau from a seeded transcript squeeze) —
+test-grade, like the reference's rng-based SRS::setup; production deployments
+load a ceremony SRS via save/load (hyperkzg/mod.rs:60-100).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..field.constants import FR_MODULUS
+from ..field.scalar import Fr
+from ..curve.msm import msm
+from ..curve.points import G1, G2, g1_generator, g2_generator
+
+
+class KZGSRS:
+    """g1_powers[i] = tau^i * G1; g2 = G2; beta_g2 = tau * G2."""
+
+    def __init__(self, g1_powers: list[G1], g2: G2, beta_g2: G2):
+        self.g1_powers = g1_powers
+        self.g2 = g2
+        self.beta_g2 = beta_g2
+
+    @classmethod
+    def setup(cls, max_degree: int, seed: bytes = b"jolt-atlas-tpu-srs") -> "KZGSRS":
+        tau = int.from_bytes(hashlib.blake2b(seed, digest_size=32).digest(),
+                             "little") % FR_MODULUS
+        g = g1_generator()
+        powers = []
+        acc = 1
+        for _ in range(max_degree + 1):
+            powers.append(g * acc)
+            acc = acc * tau % FR_MODULUS
+        h = g2_generator()
+        return cls(powers, h, h * tau)
+
+    def max_degree(self) -> int:
+        return len(self.g1_powers) - 1
+
+    def serialize(self) -> bytes:
+        out = len(self.g1_powers).to_bytes(8, "little")
+        for p in self.g1_powers:
+            out += p.serialize()
+        out += self.g2.serialize() + self.beta_g2.serialize()
+        return out
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KZGSRS":
+        n = int.from_bytes(data[:8], "little")
+        off = 8
+        powers = []
+        for _ in range(n):
+            powers.append(G1.deserialize(data[off:off + 64]))
+            off += 64
+        g2 = G2.deserialize(data[off:off + 128])
+        beta = G2.deserialize(data[off + 128:off + 256])
+        return cls(powers, g2, beta)
+
+
+def kzg_commit(srs: KZGSRS, coeffs) -> G1:
+    """Commit to a coefficient vector (list of Fr or ints / numpy array)."""
+    scalars = [c.v if isinstance(c, Fr) else int(c) for c in coeffs]
+    return msm(srs.g1_powers[: len(scalars)], scalars)
+
+
+def kzg_open_no_rem(srs: KZGSRS, coeffs: list[Fr], u: Fr) -> G1:
+    """Witness W = commit((f(X) - f(u)) / (X - u)) via synthetic division.
+
+    The remainder (= f(u)) does not affect the quotient, so it is never
+    subtracted (reference kzg_batch_open_no_rem, hyperkzg/mod.rs:192).
+    """
+    n = len(coeffs)
+    q = [0] * (n - 1)
+    acc = 0  # running quotient coefficient (int arithmetic mod r)
+    uv = u.v
+    for i in range(n - 1, 0, -1):
+        acc = (coeffs[i].v + acc * uv) % FR_MODULUS if i < n - 1 else coeffs[i].v
+        q[i - 1] = acc
+    return msm(srs.g1_powers[: n - 1], q)
+
+
+def eval_as_univariate(coeffs: list[Fr], u: Fr) -> Fr:
+    """Horner evaluation treating MLE evals as univariate coefficients."""
+    acc = 0
+    uv = u.v
+    for c in reversed(coeffs):
+        acc = (acc * uv + c.v) % FR_MODULUS
+    return Fr(acc)

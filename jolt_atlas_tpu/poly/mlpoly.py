@@ -1,0 +1,139 @@
+"""Multilinear polynomials over the boolean hypercube.
+
+Mirrors the reference's MultilinearPolynomial enum
+(joltworks/src/poly/multilinear_polynomial.rs:22-35): coefficients start as
+*small integers* (the witness data: i32/i64/u16/bool) held in numpy int
+arrays, and are lazily promoted to field vectors on the first challenge
+binding — the reference's CompactPolynomial lazy conversion.
+
+Field vectors use the host object-int representation (field/vec.py); hot
+large-batch paths offload to the TPU limb backend (field/jaxfr.py).
+
+Index convention is big-endian (index bit 0 = MSB = variable 0), matching
+EqPolynomial::evals (eq_poly.rs:62-92). Binding supports both orders
+(multilinear_polynomial.rs:421-447):
+  - HighToLow: pairs (i, i + n/2), binds the MSB variable first.
+  - LowToHigh: pairs (2i, 2i+1), binds the LSB variable first.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+
+from ..field import vec
+from ..field.scalar import Fr
+from .eq import eq_evals
+
+
+class BindingOrder(enum.Enum):
+    HighToLow = "high_to_low"
+    LowToHigh = "low_to_high"
+
+
+class MLPoly:
+    """A multilinear polynomial given by its 2^n hypercube evaluations."""
+
+    def __init__(self, ints=None, fvec=None):
+        if ints is not None:
+            ints = np.asarray(ints)
+            assert ints.ndim == 1
+            n = len(ints)
+            assert n & (n - 1) == 0 and n > 0, "length must be a power of two"
+            self.ints = ints
+            self.fvec = None
+            self._len = n
+        else:
+            assert fvec is not None
+            self.ints = None
+            self.fvec = fvec
+            self._len = len(fvec)
+
+    # -- basics ------------------------------------------------------------
+    def __len__(self) -> int:
+        return self._len
+
+    @property
+    def num_vars(self) -> int:
+        return self._len.bit_length() - 1
+
+    @classmethod
+    def from_fr_list(cls, elems: list[Fr]) -> "MLPoly":
+        return cls(fvec=vec.from_fr(elems))
+
+    def clone(self) -> "MLPoly":
+        if self.ints is not None:
+            return MLPoly(ints=self.ints.copy())
+        return MLPoly(fvec=self.fvec.copy())
+
+    def to_field(self) -> np.ndarray:
+        """Canonical-int object array of the coefficients, shape (n,)."""
+        if self.fvec is None:
+            self.fvec = vec.from_ints(self.ints)
+        return self.fvec
+
+    def is_small(self) -> bool:
+        return self.ints is not None
+
+    # -- binding -----------------------------------------------------------
+    def bind(self, r: Fr, order: BindingOrder) -> None:
+        """Bind one variable: c'(x) = c(0,x) + r * (c(1,x) - c(0,x))."""
+        arr = self.to_field()
+        n = len(arr)
+        assert n > 1
+        if order == BindingOrder.HighToLow:
+            lo, hi = arr[: n // 2], arr[n // 2 :]
+        else:
+            lo, hi = arr[0::2], arr[1::2]
+        self.fvec = vec.vadd(lo, vec.vscale(vec.vsub(hi, lo), r))
+        self.ints = None
+        self._len = n // 2
+
+    def final_claim(self) -> Fr:
+        assert self._len == 1
+        if self.fvec is not None:
+            return Fr(int(self.fvec[0]))
+        return Fr(int(self.ints[0]))
+
+    def get_coeff(self, i: int) -> Fr:
+        if self.fvec is not None:
+            return Fr(int(self.fvec[i]))
+        return Fr(int(self.ints[i]))
+
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, r: list[Fr]) -> Fr:
+        """Evaluate at r (big-endian: r[0] is the MSB variable)."""
+        assert len(r) == self.num_vars
+        if not r:
+            return self.final_claim()
+        eq = eq_evals(r)
+        return vec.vdot(eq, self.to_field())
+
+    def evaluate_lowtohigh(self, r: list[Fr]) -> Fr:
+        """Evaluate where r is in LowToHigh binding order (LSB first)."""
+        return self.evaluate(list(reversed(r)))
+
+    # -- sumcheck round messages -------------------------------------------
+    def sumcheck_evals(self, degree: int, order: BindingOrder):
+        """Per-pair univariate evaluations [P(0), P(2), ..., P(degree)].
+
+        Returns a list of object arrays of length n/2 (reference
+        multilinear_polynomial.rs:421-459 sumcheck_evals_array: P(1) is
+        omitted, recovered by the verifier from the round claim).
+        """
+        arr = self.to_field()
+        n = len(arr)
+        if order == BindingOrder.HighToLow:
+            lo, hi = arr[: n // 2], arr[n // 2 :]
+        else:
+            lo, hi = arr[0::2], arr[1::2]
+        out = [lo]
+        if degree >= 2:
+            m = vec.vsub(hi, lo)
+            cur = vec.vadd(hi, m)  # P(2)
+            out.append(cur)
+            for _ in range(3, degree + 1):
+                cur = vec.vadd(cur, m)
+                out.append(cur)
+        return out

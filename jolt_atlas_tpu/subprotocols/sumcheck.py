@@ -1,0 +1,231 @@
+"""Sumcheck engine: single and front-loaded batched prove/verify.
+
+Protocol flow mirrors reference joltworks/src/subprotocols/sumcheck.rs:
+  - Sumcheck::prove (sumcheck.rs:561-600): absorb input claim, then per
+    round: compute univariate message, absorb compressed poly, draw 125-bit
+    optimized challenge, evaluate message at challenge -> next claim, bind.
+  - BatchedSumcheck::prove (sumcheck.rs:29-185): absorb each instance's
+    input claim, draw one batching coefficient per instance, scale claims by
+    2^(max_rounds - rounds) (front-loading), instances join once
+    remaining_rounds <= their num_rounds; instances that haven't joined
+    contribute constant polys equal to claim * 2^(remaining-rounds-1).
+  - SumcheckInstanceProof::verify (sumcheck.rs:655-700): degree-bound check,
+    re-absorb, challenge, eval_from_hint chain.
+
+Instances implement the SumcheckInstanceProver/Verifier interfaces
+(subprotocols/sumcheck_prover.rs:10, sumcheck_verifier.rs:6).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from ..field.scalar import Fr
+from ..poly.unipoly import CompressedUniPoly, UniPoly
+
+
+class SumcheckError(Exception):
+    pass
+
+
+class SumcheckInstanceProver(ABC):
+    @abstractmethod
+    def num_rounds(self) -> int: ...
+
+    @abstractmethod
+    def degree(self) -> int: ...
+
+    @abstractmethod
+    def input_claim(self, accumulator) -> Fr: ...
+
+    @abstractmethod
+    def compute_message(self, round: int, previous_claim: Fr) -> UniPoly: ...
+
+    @abstractmethod
+    def ingest_challenge(self, r: Fr, round: int) -> None: ...
+
+    def finalize(self) -> None:
+        pass
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        pass
+
+
+class SumcheckInstanceVerifier(ABC):
+    @abstractmethod
+    def num_rounds(self) -> int: ...
+
+    @abstractmethod
+    def degree(self) -> int: ...
+
+    @abstractmethod
+    def input_claim(self, accumulator) -> Fr: ...
+
+    @abstractmethod
+    def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr: ...
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        pass
+
+
+class SumcheckInstanceProof:
+    """The per-round compressed univariate polynomials."""
+
+    def __init__(self, compressed_polys: list[CompressedUniPoly]):
+        self.compressed_polys = compressed_polys
+
+    def verify(self, claim: Fr, num_rounds: int, degree_bound: int, transcript):
+        """Replays the rounds; returns (final_claim, challenges)."""
+        if len(self.compressed_polys) != num_rounds:
+            raise SumcheckError(
+                f"expected {num_rounds} round polys, got {len(self.compressed_polys)}"
+            )
+        e = claim
+        r: list[Fr] = []
+        for poly in self.compressed_polys:
+            if poly.degree() > degree_bound:
+                raise SumcheckError(
+                    f"round poly degree {poly.degree()} > bound {degree_bound}"
+                )
+            poly.append_to_transcript(transcript)
+            r_i = transcript.challenge_scalar_optimized()
+            r.append(r_i)
+            e = poly.eval_from_hint(e, r_i)
+        return e, r
+
+    def serialize(self) -> bytes:
+        out = len(self.compressed_polys).to_bytes(8, "little")
+        for p in self.compressed_polys:
+            out += p.serialize()
+        return out
+
+    @classmethod
+    def deserialize(cls, data: bytes, offset: int = 0):
+        n = int.from_bytes(data[offset:offset + 8], "little")
+        offset += 8
+        polys = []
+        for _ in range(n):
+            p, offset = CompressedUniPoly.deserialize(data, offset)
+            polys.append(p)
+        return cls(polys), offset
+
+
+def _mul_pow2(x: Fr, k: int) -> Fr:
+    return x * Fr(1 << k) if k else x
+
+
+class Sumcheck:
+    @staticmethod
+    def prove(instance: SumcheckInstanceProver, accumulator, transcript):
+        num_rounds = instance.num_rounds()
+        input_claim = instance.input_claim(accumulator)
+        transcript.append_scalar(input_claim)
+        previous_claim = input_claim
+        r_sumcheck: list[Fr] = []
+        compressed: list[CompressedUniPoly] = []
+        for rnd in range(num_rounds):
+            poly = instance.compute_message(rnd, previous_claim)
+            cp = poly.compress()
+            cp.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar_optimized()
+            r_sumcheck.append(r_j)
+            previous_claim = poly.evaluate(r_j)
+            instance.ingest_challenge(r_j, rnd)
+            compressed.append(cp)
+        instance.finalize()
+        instance.cache_openings(accumulator, transcript, r_sumcheck)
+        return SumcheckInstanceProof(compressed), r_sumcheck
+
+    @staticmethod
+    def verify(proof: SumcheckInstanceProof, instance: SumcheckInstanceVerifier,
+               accumulator, transcript):
+        input_claim = instance.input_claim(accumulator)
+        transcript.append_scalar(input_claim)
+        final_claim, r = proof.verify(
+            input_claim, instance.num_rounds(), instance.degree(), transcript
+        )
+        instance.cache_openings(accumulator, transcript, r)
+        expected = instance.expected_output_claim(accumulator, r)
+        if final_claim != expected:
+            raise SumcheckError("sumcheck output claim mismatch")
+        return r
+
+
+class BatchedSumcheck:
+    @staticmethod
+    def prove(instances: list[SumcheckInstanceProver], accumulator, transcript):
+        max_rounds = max(i.num_rounds() for i in instances)
+        for inst in instances:
+            transcript.append_scalar(inst.input_claim(accumulator))
+        coeffs = transcript.challenge_vector(len(instances))
+
+        individual_claims = [
+            _mul_pow2(inst.input_claim(accumulator), max_rounds - inst.num_rounds())
+            for inst in instances
+        ]
+
+        r_sumcheck: list[Fr] = []
+        compressed: list[CompressedUniPoly] = []
+        for rnd in range(max_rounds):
+            remaining = max_rounds - rnd
+            polys = []
+            for inst, prev in zip(instances, individual_claims):
+                nr = inst.num_rounds()
+                if remaining > nr:
+                    # not joined yet: constant poly = claim * 2^(remaining-nr-1)
+                    scaled = _mul_pow2(
+                        inst.input_claim(accumulator), remaining - nr - 1
+                    )
+                    polys.append(UniPoly([scaled]))
+                else:
+                    offset = max_rounds - nr
+                    polys.append(inst.compute_message(rnd - offset, prev))
+
+            batched = UniPoly([])
+            for poly, coeff in zip(polys, coeffs):
+                batched = batched + poly.scale(coeff)
+            cp = batched.compress()
+            cp.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar_optimized()
+            r_sumcheck.append(r_j)
+            individual_claims = [p.evaluate(r_j) for p in polys]
+            for inst in instances:
+                if remaining <= inst.num_rounds():
+                    offset = max_rounds - inst.num_rounds()
+                    inst.ingest_challenge(r_j, rnd - offset)
+            compressed.append(cp)
+
+        for inst in instances:
+            inst.finalize()
+        for inst in instances:
+            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            inst.cache_openings(accumulator, transcript, r_slice)
+        return SumcheckInstanceProof(compressed), r_sumcheck
+
+    @staticmethod
+    def verify(proof: SumcheckInstanceProof,
+               instances: list[SumcheckInstanceVerifier], accumulator, transcript):
+        max_degree = max(i.degree() for i in instances)
+        max_rounds = max(i.num_rounds() for i in instances)
+        for inst in instances:
+            transcript.append_scalar(inst.input_claim(accumulator))
+        coeffs = transcript.challenge_vector(len(instances))
+
+        claim = Fr.zero()
+        for inst, coeff in zip(instances, coeffs):
+            claim = claim + _mul_pow2(
+                inst.input_claim(accumulator), max_rounds - inst.num_rounds()
+            ) * coeff
+
+        output_claim, r_sumcheck = proof.verify(claim, max_rounds, max_degree,
+                                                transcript)
+
+        expected = Fr.zero()
+        for inst, coeff in zip(instances, coeffs):
+            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            inst.cache_openings(accumulator, transcript, r_slice)
+            expected = expected + inst.expected_output_claim(accumulator, r_slice) * coeff
+
+        if output_claim != expected:
+            raise SumcheckError("batched sumcheck output claim mismatch")
+        return r_sumcheck

@@ -59,7 +59,7 @@ class TestJaxFr:
         a_vals, b_vals = rand_ints(n), rand_ints(n)
         a = jnp.asarray(jaxfr.to_limbs_host(a_vals))
         b = jnp.asarray(jaxfr.to_limbs_host(b_vals))
-        got = jaxfr.from_limbs_host(np.asarray(jaxfr.mont_mul(a, b)))
+        got = jaxfr.from_limbs_host(np.asarray(jaxfr.mont_mul_jit(a, b)))
         want = [(x * y) % R for x, y in zip(a_vals, b_vals)]
         assert got == want
 
@@ -85,8 +85,8 @@ class TestJaxFr:
         a = jnp.asarray(jaxfr.to_limbs_host(vals))
         acc = a
         expect = list(vals)
-        for i in range(20):
-            acc = jaxfr.mont_mul(acc, a) if i % 2 == 0 else jaxfr.add(acc, acc)
+        for i in range(6):
+            acc = jaxfr.mont_mul_jit(acc, a) if i % 2 == 0 else jaxfr.add_jit(acc, acc)
             expect = (
                 [(x * y) % R for x, y in zip(expect, vals)]
                 if i % 2 == 0
@@ -108,7 +108,7 @@ class TestJaxFr:
         assert got == [int(x) % R for x in xs]
 
     def test_sum_reduce_and_dot(self):
-        n = 100
+        n = 33
         a_vals, b_vals = rand_ints(n), rand_ints(n)
         a = jnp.asarray(jaxfr.to_limbs_host(a_vals))
         b = jnp.asarray(jaxfr.to_limbs_host(b_vals))
