@@ -1,0 +1,139 @@
+"""Polynomial and sumcheck ID registry.
+
+Mirrors the reference's canonical enums (common/src/lib.rs:35-438 CommittedPoly
+/ VirtualPoly; joltworks/src/poly/opening_proof.rs:1167-1183 SumcheckId).
+IDs are (tag, payload...) tuples with total ordering given by the variant tag
+order of the reference enums, so BTreeMap-ordered iteration (which fixes
+batching order and transcript order) matches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+
+_COMMITTED_TAGS = [
+    "NodeOutputRaD",            # (node, d)
+    "CosRaD",                   # (node, d)
+    "ErfRaD",                   # (node, d)
+    "SinRaD",                   # (node, d)
+    "TanhRaD",                  # (node, d)
+    "DivRangeCheckRaD",         # (node, d)
+    "SqrtDivRangeCheckRaD",     # (node, d)
+    "MeanOfSquaresRangeCheckRaD",  # (node, d)
+    "SqrtRangeCheckRaD",        # (node, d)
+    "TeleportRangeCheckRaD",    # (node, d)
+    "DivNodeQuotient",          # (node,)
+    "ScalarConstDivNodeRemainder",  # (node,)
+    "RsqrtQuotient",            # (node,)
+    "TeleportNodeQuotient",     # (node,)
+    "SigmoidRaD",               # (node, d)
+    "GatherRa",                 # (node,)
+    "GatherRaD",                # (node, d)
+    "SoftmaxRemainderRaD",      # (node, d)
+    "SoftmaxExpRemainderRaD",   # (node, d)
+    "SoftmaxZHiRaD",            # (node, d)
+    "SoftmaxZLoRaD",            # (node, d)
+    "SoftmaxSatDiffRaD",        # (node, d)
+    "ClampRaD",                 # (node, d)
+    "RescaleRemainderRaD",      # (node, d)
+]
+
+_VIRTUAL_TAGS = [
+    "NodeOutput", "NodeOutputRa", "SigmoidRa", "CosRa", "ErfRa", "SinRa",
+    "TanhRa", "SoftmaxSumOutput", "SoftmaxMaxOutput", "SoftmaxMaxIndex",
+    "HammingWeight", "DivRangeCheckRa", "SqrtRangeCheckRa",
+    "TeleportRangeCheckRa", "MeanOfSquaresRangeCheckRa", "DivRemainder",
+    "SqrtRemainder", "TeleportQuotient", "TeleportRemainder", "SoftmaxExpSum",
+    "SoftmaxExpQ", "SoftmaxRemainderRa", "SoftmaxExpHi", "SoftmaxExpLo",
+    "SoftmaxExpRemainder", "SoftmaxExpRemainderRa", "SoftmaxZHi", "SoftmaxZLo",
+    "SoftmaxZHiRa", "SoftmaxZLoRa", "SoftmaxSatDiff", "SoftmaxSatDiffRa",
+    "SoftmaxRecipMultRemainder", "NTEvalShiftOutput", "ClampAcc", "ClampRa",
+    "RescaleRemainder", "RescaleRemainderRa", "DummyClampedTanhInput",
+]
+
+_SUMCHECK_TAGS = [
+    "NodeExecution",            # (node,)
+    "Raf",
+    "RaVirtualization",
+    "RamHammingBooleanity",
+    "RamHammingWeight",
+    "Booleanity",
+    "HammingWeight",
+    "RLC",                      # (node,)
+    "BlindFoldBatchOpening",
+    "NTEvalShift",
+]
+
+
+@dataclass(frozen=True, order=True)
+class _TaggedId:
+    tag_index: int
+    payload: tuple
+
+    @property
+    def tag(self) -> str:
+        return self._TAGS[self.tag_index]
+
+    def __repr__(self):
+        return f"{self.tag}{self.payload}"
+
+
+class CommittedPoly(_TaggedId):
+    _TAGS = _COMMITTED_TAGS
+
+    @classmethod
+    def make(cls, tag: str, *payload) -> "CommittedPoly":
+        return cls(_COMMITTED_TAGS.index(tag), tuple(payload))
+
+
+class VirtualPoly(_TaggedId):
+    _TAGS = _VIRTUAL_TAGS
+
+    @classmethod
+    def make(cls, tag: str, *payload) -> "VirtualPoly":
+        return cls(_VIRTUAL_TAGS.index(tag), tuple(payload))
+
+
+class SumcheckId(_TaggedId):
+    _TAGS = _SUMCHECK_TAGS
+
+    @classmethod
+    def make(cls, tag: str, *payload) -> "SumcheckId":
+        return cls(_SUMCHECK_TAGS.index(tag), tuple(payload))
+
+
+@dataclass(frozen=True, order=True)
+class OpeningId:
+    """(polynomial, sumcheck) — committed polys sort before virtual polys."""
+    is_virtual: bool
+    poly: _TaggedId
+    sumcheck: SumcheckId
+
+    @classmethod
+    def committed(cls, poly: CommittedPoly, sumcheck: SumcheckId) -> "OpeningId":
+        return cls(False, poly, sumcheck)
+
+    @classmethod
+    def virtual(cls, poly: VirtualPoly, sumcheck: SumcheckId) -> "OpeningId":
+        return cls(True, poly, sumcheck)
+
+    def committed_poly(self) -> Optional[CommittedPoly]:
+        return None if self.is_virtual else self.poly
+
+    def virtual_poly(self) -> Optional[VirtualPoly]:
+        return self.poly if self.is_virtual else None
+
+    def __repr__(self):
+        kind = "V" if self.is_virtual else "C"
+        return f"{kind}:{self.poly}@{self.sumcheck}"
+
+
+# convenience constructors
+def node_output(node_idx: int) -> VirtualPoly:
+    return VirtualPoly.make("NodeOutput", node_idx)
+
+
+def sid_node_execution(node_idx: int) -> SumcheckId:
+    return SumcheckId.make("NodeExecution", node_idx)

@@ -1,0 +1,148 @@
+"""The ONNX-inference prover.
+
+Reference call stack (jolt-atlas-core/src/onnx_proof/prover.rs, SURVEY §3.1):
+trace -> witness gen -> commit -> bind public inputs -> output claim ->
+reverse-topological IOP (per-node eval reduction + operator sumchecks) ->
+batched opening reduction -> gamma RLC -> single HyperKZG opening.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .field.scalar import Fr
+from .frontend import ops as FOPS
+from .frontend.graph import Model
+from .ids import OpeningId, SumcheckId, VirtualPoly
+from .poly.mlpoly import MLPoly
+from .poly.opening import ProverOpeningAccumulator, build_materialized_rlc
+from .preprocessing import AtlasPreprocessing
+from .proof import ONNXProof
+from .subprotocols.eval_reduction import prove_eval_reduction
+from .transcripts import Blake2bTranscript
+from .commitment.hyperkzg import HyperKZG
+from .curve.msm import msm
+from .zkops import ops as ZOPS
+from .zkops.ops import padded_flat
+
+
+def append_io_to_transcript(transcript, tensors):
+    """Bind public tensors (LE i32 bytes, reference mod.rs:110-114)."""
+    for t in tensors:
+        transcript.append_bytes(np.asarray(t, dtype="<i4").tobytes())
+
+
+class ProverContext:
+    def __init__(self, model, trace, transcript, accumulator):
+        self.model = model
+        self.trace = trace
+        self.transcript = transcript
+        self.accumulator = accumulator
+        self.proofs = {}
+        self.eval_reduction_proofs = {}
+        self.chunks = {}
+        self.reduced = {}
+
+    def node(self, idx):
+        return self.model.graph.nodes[idx]
+
+    def padded_len(self, idx):
+        return self.node(idx).padded_output_len()
+
+
+def collect_node_claims(accumulator, node_idx):
+    """All (id, point, claim) openings on NodeOutput(node_idx), sorted."""
+    target = VirtualPoly.make("NodeOutput", node_idx)
+    out = []
+    for oid in sorted(accumulator.openings):
+        if oid.is_virtual and oid.poly == target:
+            point, claim = accumulator.openings[oid]
+            out.append((oid, point, claim))
+    return out
+
+
+class AtlasProver:
+    def __init__(self, preprocessing: AtlasPreprocessing):
+        self.pp = preprocessing
+
+    def prove(self, inputs: list[np.ndarray]):
+        """Returns (proof, io) where io = (padded inputs, padded outputs)."""
+        model = self.pp.model
+        trace = model.trace(inputs)
+        transcript = Blake2bTranscript(b"ONNXProof")
+        accumulator = ProverOpeningAccumulator()
+        ctx = ProverContext(model, trace, transcript, accumulator)
+
+        padded_inputs = [trace.node_outputs[i] for i in model.graph.inputs]
+        padded_outputs = [trace.node_outputs[i] for i in model.graph.outputs]
+        append_io_to_transcript(transcript, padded_inputs)
+
+        # --- witness generation + commitments (sorted CommittedPoly order) ---
+        poly_map = {}
+        for node in model.graph.sorted_nodes():
+            polys, chunks = ZOPS.node_witness(node, model, trace)
+            poly_map.update(polys)
+            ctx.chunks.update(chunks)
+        commitments = {}
+        for pid in sorted(poly_map):
+            scalars = poly_map[pid].ints
+            commitments[pid] = msm(self.pp.srs.g1_powers[: len(scalars)], scalars)
+            transcript.append_point(commitments[pid])
+
+        # --- output claims ---
+        for k, out_idx in enumerate(model.graph.outputs):
+            flat = padded_flat(trace.node_outputs[out_idx])
+            nv = len(flat).bit_length() - 1
+            r_tau = transcript.challenge_vector_optimized(nv)
+            claim = MLPoly(ints=flat.astype(np.int64)).evaluate(r_tau)
+            oid = OpeningId.virtual(
+                VirtualPoly.make("NodeOutput", out_idx),
+                SumcheckId.make("NodeExecution", out_idx + 1, k),
+            )
+            accumulator.append_virtual(transcript, oid, r_tau, claim)
+
+        # --- reverse-topological IOP ---
+        for node in reversed(model.graph.sorted_nodes()):
+            claims = collect_node_claims(accumulator, node.idx)
+            if isinstance(node.operator, (FOPS.Input, FOPS.Constant)):
+                continue  # claims on public polys checked by the verifier
+            if not claims:
+                continue  # dead node
+            if len(claims) == 1:
+                ctx.reduced[node.idx] = (claims[0][1], claims[0][2])
+            else:
+                flat = padded_flat(trace.node_outputs[node.idx])
+                poly = MLPoly(ints=flat.astype(np.int64))
+                proof, new_pt, new_claim = prove_eval_reduction(
+                    poly, [c[1] for c in claims], [c[2] for c in claims],
+                    transcript)
+                ctx.eval_reduction_proofs[node.idx] = proof
+                ctx.reduced[node.idx] = (new_pt, new_claim)
+            ZOPS.prove_node(node, ctx)
+
+        # --- batched opening reduction + joint HyperKZG opening ---
+        if accumulator.reductions:
+            (bo_proof, r_sumcheck, reduced_claims, gamma_powers) = \
+                accumulator.prove_batch_opening(poly_map, transcript)
+            ordered = [(inst.poly_id, None)
+                       for inst in accumulator.sorted_reductions()]
+            joint = build_materialized_rlc(gamma_powers, ordered, poly_map)
+            max_rounds = len(r_sumcheck)
+            if len(joint) < (1 << max_rounds):
+                joint = joint + [Fr.zero()] * ((1 << max_rounds) - len(joint))
+            hk_proof = HyperKZG.open(self.pp.srs, joint, list(r_sumcheck),
+                                     transcript)
+        else:  # no committed polynomials (pure claim-plumbing graph)
+            bo_proof, reduced_claims, hk_proof = None, [], None
+
+        proof = ONNXProof(
+            commitments=commitments,
+            proofs=ctx.proofs,
+            eval_reduction_proofs=ctx.eval_reduction_proofs,
+            opening_claims=accumulator.take_claims(),
+            reduced_claims=reduced_claims,
+            batch_opening_proof=bo_proof,
+            joint_opening_proof=hk_proof,
+        )
+        io = (padded_inputs, padded_outputs)
+        return proof, io

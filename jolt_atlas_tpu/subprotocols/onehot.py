@@ -1,0 +1,262 @@
+"""One-hot chunk decomposition machinery (Twist/Shout-style, TPU-first).
+
+A lookup operand (u32 / u64 / remainder) is decomposed into 16-ary chunks
+(LOG_K_CHUNK = 4, common/src/consts.rs). For each chunk d the prover commits
+a one-hot polynomial ra_d over (K_CHUNK, T): ra_d[k, j] = 1 iff chunk_d of
+operand j equals k (reference OneHotPolynomial,
+joltworks/src/poly/one_hot_polynomial.rs:22-62).
+
+Validity + read checks (reference shout.rs:399-474 one-hot checks,
+re-formulated for dense TPU execution — see module docstring of zkops/):
+
+  * AddressReadCheck: claim = sum_k g(k) * ra_d(k, r_cycle) for a tiny
+    16-entry table g (identity / msb / eq-0 / eq-15 / const-1 = hamming
+    weight). Degree-2, LOG_K_CHUNK rounds. Plays the role of the reference's
+    read-raf + HammingWeight instances.
+  * Booleanity: 0 = sum_{k,j} eq(r_b, (k,j)) * sum_d gamma_d (ra_d^2 - ra_d).
+    Degree-3, LOG_K_CHUNK + log T rounds (reference booleanity.rs:37).
+
+Chunk order: d = 0 is the LEAST significant 4 bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import K_CHUNK, LOG_K_CHUNK
+from ..field import vec
+from ..field.scalar import Fr
+from ..ids import CommittedPoly, OpeningId, SumcheckId
+from ..poly.eq import eq_evals, eq_eval_scalar
+from ..poly.mlpoly import BindingOrder, MLPoly
+from ..poly.unipoly import UniPoly
+from .sumcheck import SumcheckInstanceProver, SumcheckInstanceVerifier
+
+
+# ---------------------------------------------------------------------------
+# chunking + tiny tables
+# ---------------------------------------------------------------------------
+
+def chunk_values(operands: np.ndarray, num_chunks: int) -> np.ndarray:
+    """(T,) unsigned int array -> (num_chunks, T) of 4-bit chunk values."""
+    ops = operands.astype(np.uint64)
+    out = np.empty((num_chunks, len(ops)), dtype=np.int64)
+    for d in range(num_chunks):
+        out[d] = ((ops >> np.uint64(4 * d)) & np.uint64(0xF)).astype(np.int64)
+    return out
+
+
+def one_hot_poly(chunks_d: np.ndarray) -> MLPoly:
+    """(T,) chunk values -> flattened (K_CHUNK * T) one-hot MLPoly.
+
+    Layout is address-major: index = k * T + j (big-endian: the LOG_K_CHUNK
+    address variables come first, then the cycle variables).
+    """
+    T = len(chunks_d)
+    arr = np.zeros((K_CHUNK, T), dtype=np.int64)
+    arr[chunks_d, np.arange(T)] = 1
+    return MLPoly(ints=arr.reshape(-1))
+
+
+# tiny 16-entry tables (as int vectors); MLE evaluation via MLPoly
+TABLE_IDENTITY = np.arange(K_CHUNK, dtype=np.int64)
+TABLE_ONE = np.ones(K_CHUNK, dtype=np.int64)
+TABLE_MSB = (np.arange(K_CHUNK) >= 8).astype(np.int64)
+TABLE_NOTMSB = (np.arange(K_CHUNK) < 8).astype(np.int64)
+TABLE_EQ0 = (np.arange(K_CHUNK) == 0).astype(np.int64)
+TABLE_EQ15 = (np.arange(K_CHUNK) == 15).astype(np.int64)
+
+TABLES = {
+    "identity": TABLE_IDENTITY,
+    "one": TABLE_ONE,
+    "msb": TABLE_MSB,
+    "notmsb": TABLE_NOTMSB,
+    "eq0": TABLE_EQ0,
+    "eq15": TABLE_EQ15,
+}
+
+
+def derived_cycle_array(table_name: str, chunks_d: np.ndarray) -> np.ndarray:
+    """g(chunk_d(j)) per cycle j — the derived virtual cycle polynomial."""
+    return TABLES[table_name][chunks_d]
+
+
+def compute_G(chunks_d: np.ndarray, eq_cycle) -> np.ndarray:
+    """G[k] = sum_{j: chunk_d(j)=k} eq_cycle[j]  (object-int field array).
+
+    The cycle-bound chunk polynomial ra_d(k, r_cycle) (reference
+    compute_ra_evals, shout.rs:532+).
+    """
+    G = vec.zeros(K_CHUNK)
+    for k in range(K_CHUNK):
+        mask = chunks_d == k
+        if mask.any():
+            G[k] = int(np.sum(eq_cycle[mask])) % vec.R
+    return G
+
+
+# ---------------------------------------------------------------------------
+# AddressReadCheck sumcheck (degree 2, LOG_K_CHUNK rounds)
+# ---------------------------------------------------------------------------
+
+class AddressReadCheckProver(SumcheckInstanceProver):
+    """Proves claim = sum_k g(k) * ra_d(k, r_cycle).
+
+    Final: the bound value ra_d((r_addr, r_cycle)) is appended as a committed
+    opening (only when `appends_opening` — one designated instance per chunk).
+    """
+
+    def __init__(self, poly_id: CommittedPoly, sumcheck_id: SumcheckId,
+                 table_name: str, G: np.ndarray, r_cycle: list[Fr], claim: Fr,
+                 appends_opening: bool):
+        self.poly_id = poly_id
+        self.sumcheck_id = sumcheck_id
+        self.table = MLPoly(ints=TABLES[table_name])
+        self.G = MLPoly(fvec=G.copy())
+        self.r_cycle = r_cycle
+        self.claim = claim
+        self.appends_opening = appends_opening
+
+    def num_rounds(self) -> int:
+        return LOG_K_CHUNK
+
+    def degree(self) -> int:
+        return 2
+
+    def input_claim(self, accumulator) -> Fr:
+        return self.claim
+
+    def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
+        e_t = self.table.sumcheck_evals(2, BindingOrder.HighToLow)
+        e_g = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
+        points = [vec.vsum(vec.vmul(e_t[t], e_g[t])) for t in range(2)]
+        return UniPoly.from_evals_and_hint(previous_claim, points)
+
+    def ingest_challenge(self, r: Fr, round: int) -> None:
+        self.table.bind(r, BindingOrder.HighToLow)
+        self.G.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        if self.appends_opening:
+            point = list(r) + list(self.r_cycle)
+            accumulator.append_committed(
+                transcript, OpeningId.committed(self.poly_id, self.sumcheck_id),
+                point, self.G.final_claim())
+
+
+class AddressReadCheckVerifier(SumcheckInstanceVerifier):
+    def __init__(self, poly_id: CommittedPoly, sumcheck_id: SumcheckId,
+                 table_name: str, r_cycle: list[Fr], claim: Fr,
+                 appends_opening: bool):
+        self.poly_id = poly_id
+        self.sumcheck_id = sumcheck_id
+        self.table_name = table_name
+        self.r_cycle = r_cycle
+        self.claim = claim
+        self.appends_opening = appends_opening
+
+    def num_rounds(self) -> int:
+        return LOG_K_CHUNK
+
+    def degree(self) -> int:
+        return 2
+
+    def input_claim(self, accumulator) -> Fr:
+        return self.claim
+
+    def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
+        g_eval = MLPoly(ints=TABLES[self.table_name]).evaluate(list(r))
+        ra_claim = accumulator.claim_of(
+            OpeningId.committed(self.poly_id, self.sumcheck_id))
+        return g_eval * ra_claim
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        if self.appends_opening:
+            point = list(r) + list(self.r_cycle)
+            accumulator.append_committed(
+                transcript, OpeningId.committed(self.poly_id, self.sumcheck_id),
+                point)
+
+
+# ---------------------------------------------------------------------------
+# Booleanity sumcheck (degree 3, LOG_K_CHUNK + log T rounds)
+# ---------------------------------------------------------------------------
+
+class BooleanityProver(SumcheckInstanceProver):
+    """0 = sum_{k,j} eq(r_b, (k,j)) * sum_d gamma_d * (ra_d^2 - ra_d)."""
+
+    def __init__(self, poly_ids: list[CommittedPoly], ra_polys: list[MLPoly],
+                 r_b: list[Fr], gammas: list[Fr]):
+        self.poly_ids = poly_ids
+        self.ras = [p.clone() for p in ra_polys]
+        self.r_b = r_b
+        self.gammas = gammas
+        self.eq = MLPoly(fvec=eq_evals(r_b))
+        self._rounds = len(r_b)
+
+    def num_rounds(self) -> int:
+        return self._rounds
+
+    def degree(self) -> int:
+        return 3
+
+    def input_claim(self, accumulator) -> Fr:
+        return Fr.zero()
+
+    def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
+        e_eq = self.eq.sumcheck_evals(3, BindingOrder.HighToLow)
+        e_ras = [p.sumcheck_evals(3, BindingOrder.HighToLow) for p in self.ras]
+        points = []
+        for t in range(3):  # evals at 0, 2, 3
+            inner = None
+            for gamma, e in zip(self.gammas, e_ras):
+                term = vec.vscale(
+                    vec.vsub(vec.vmul(e[t], e[t]), e[t]), gamma)
+                inner = term if inner is None else vec.vadd(inner, term)
+            points.append(vec.vsum(vec.vmul(e_eq[t], inner)))
+        return UniPoly.from_evals_and_hint(previous_claim, points)
+
+    def ingest_challenge(self, r: Fr, round: int) -> None:
+        self.eq.bind(r, BindingOrder.HighToLow)
+        for p in self.ras:
+            p.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        for pid, p in zip(self.poly_ids, self.ras):
+            accumulator.append_committed(
+                transcript,
+                OpeningId.committed(pid, SumcheckId.make("Booleanity")),
+                list(r), p.final_claim())
+
+
+class BooleanityVerifier(SumcheckInstanceVerifier):
+    def __init__(self, poly_ids: list[CommittedPoly], r_b: list[Fr],
+                 gammas: list[Fr]):
+        self.poly_ids = poly_ids
+        self.r_b = r_b
+        self.gammas = gammas
+
+    def num_rounds(self) -> int:
+        return len(self.r_b)
+
+    def degree(self) -> int:
+        return 3
+
+    def input_claim(self, accumulator) -> Fr:
+        return Fr.zero()
+
+    def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
+        eq_eval = eq_eval_scalar(self.r_b, list(r))
+        acc = Fr.zero()
+        for pid, gamma in zip(self.poly_ids, self.gammas):
+            c = accumulator.claim_of(
+                OpeningId.committed(pid, SumcheckId.make("Booleanity")))
+            acc = acc + gamma * (c * c - c)
+        return eq_eval * acc
+
+    def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
+        for pid in self.poly_ids:
+            accumulator.append_committed(
+                transcript,
+                OpeningId.committed(pid, SumcheckId.make("Booleanity")),
+                list(r))

@@ -1,0 +1,182 @@
+"""End-to-end prove + verify on ModelBuilder graphs.
+
+Mirrors reference jolt-atlas-core/src/onnx_proof/e2e_tests.rs structure:
+build a small graph, run full prove + verify (incl. HyperKZG), plus
+malicious-prover tamper tests (soundness_tests.rs analogues).
+"""
+
+import numpy as np
+import pytest
+
+from jolt_atlas_tpu.field.scalar import Fr
+from jolt_atlas_tpu.frontend import ModelBuilder
+from jolt_atlas_tpu.frontend.quantize import quantize_tensor
+from jolt_atlas_tpu.preprocessing import AtlasPreprocessing
+from jolt_atlas_tpu.prover import AtlasProver
+from jolt_atlas_tpu.verifier import AtlasVerifier
+
+rng = np.random.default_rng(777)
+
+
+def prove_and_verify(model, inputs):
+    pp = AtlasPreprocessing.preprocess(model)
+    proof, io = AtlasProver(pp).prove(inputs)
+    v = AtlasVerifier(pp)
+    assert v.verify(proof, io), f"verification failed: {getattr(v, 'last_error', None)}"
+    return pp, proof, io
+
+
+class TestE2ESmall:
+    def test_relu_only(self):
+        b = ModelBuilder()
+        x = b.input([2, 4])
+        y = b.relu(x)
+        b.output(y)
+        model = b.build()
+        xs = rng.integers(-100, 100, size=(2, 4)).astype(np.int32)
+        prove_and_verify(model, [xs])
+
+    def test_add(self):
+        b = ModelBuilder()
+        x = b.input([8])
+        c = b.constant(rng.integers(-50, 50, size=8).astype(np.int32))
+        y = b.add(x, c)
+        b.output(y)
+        model = b.build()
+        prove_and_verify(model, [rng.integers(-50, 50, size=8).astype(np.int32)])
+
+    def test_add_saturating(self):
+        b = ModelBuilder()
+        x = b.input([4])
+        c = b.constant(np.array([2**31 - 10, -(2**31) + 5, 7, 0], dtype=np.int32))
+        y = b.add(x, c)
+        b.output(y)
+        model = b.build()
+        xs = np.array([100, -100, 1, 2], dtype=np.int32)
+        pp, proof, io = prove_and_verify(model, [xs])
+        out = io[1][0]
+        assert out[0] == 2**31 - 1 and out[1] == -(2**31)  # saturation proven
+
+    def test_sub(self):
+        b = ModelBuilder()
+        x = b.input([8])
+        c = b.constant(rng.integers(-50, 50, size=8).astype(np.int32))
+        y = b.sub(x, c)
+        b.output(y)
+        prove_and_verify(b.build(), [rng.integers(-50, 50, size=8).astype(np.int32)])
+
+    def test_mul_rescale(self):
+        b = ModelBuilder(scale=8)
+        x = b.input([8])
+        c = b.constant(quantize_tensor(rng.normal(size=8), 8))
+        y = b.mul(x, c)
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8), 8)])
+
+    def test_square(self):
+        b = ModelBuilder(scale=8)
+        x = b.input([8])
+        y = b.square(x)
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8), 8)])
+
+    def test_matmul(self):
+        b = ModelBuilder(scale=8)
+        x = b.input([2, 4])
+        w = b.constant(quantize_tensor(rng.normal(size=(4, 2)) * 0.5, 8))
+        y = b.matmul(x, w)
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(2, 4)), 8)])
+
+    def test_shape_ops(self):
+        b = ModelBuilder()
+        x = b.input([2, 4])
+        y = b.reshape(x, [8])
+        z = b.relu(y)
+        b.output(z)
+        prove_and_verify(b.build(), [rng.integers(-30, 30, size=(2, 4)).astype(np.int32)])
+
+    def test_neg_identity(self):
+        b = ModelBuilder()
+        x = b.input([4])
+        y = b.neg(b.identity(x))
+        b.output(y)
+        prove_and_verify(b.build(), [rng.integers(-30, 30, size=4).astype(np.int32)])
+
+
+class TestE2EPerceptron:
+    def test_perceptron(self):
+        """input -> matmul -> add bias -> relu -> matmul (the minimum slice)."""
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([1, 8])
+        w1 = b.constant(quantize_tensor(rng.normal(size=(8, 4)) * 0.5, s))
+        h = b.matmul(x, w1)
+        bias = b.constant(quantize_tensor(rng.normal(size=(1, 4)) * 0.1, s))
+        hb = b.add(h, bias)
+        a = b.relu(hb)
+        w2 = b.constant(quantize_tensor(rng.normal(size=(4, 2)) * 0.5, s))
+        out = b.matmul(a, w2)
+        b.output(out)
+        model = b.build()
+        xs = quantize_tensor(rng.normal(size=(1, 8)), s)
+        pp, proof, io = prove_and_verify(model, [xs])
+        assert proof.size_estimate() > 0
+
+    def test_shared_producer_fanout(self):
+        """x consumed by two branches -> eval reduction with 2 claims."""
+        b = ModelBuilder()
+        x = b.input([8])
+        y1 = b.relu(x)
+        y2 = b.neg(x)
+        z = b.add(y1, y2)
+        b.output(z)
+        prove_and_verify(b.build(), [rng.integers(-40, 40, size=8).astype(np.int32)])
+
+
+class TestSoundness:
+    def _setup(self):
+        b = ModelBuilder()
+        x = b.input([4])
+        c = b.constant(np.array([5, -3, 10, 0], dtype=np.int32))
+        y = b.add(x, c)
+        z = b.relu(y)
+        b.output(z)
+        model = b.build()
+        xs = np.array([1, 2, -7, 4], dtype=np.int32)
+        pp = AtlasPreprocessing.preprocess(model)
+        proof, io = AtlasProver(pp).prove([xs])
+        return pp, proof, io
+
+    def test_honest_accepts(self):
+        pp, proof, io = self._setup()
+        assert AtlasVerifier(pp).verify(proof, io)
+
+    def test_tampered_output_rejected(self):
+        pp, proof, io = self._setup()
+        bad_out = [io[1][0].copy()]
+        bad_out[0][0] += 1
+        assert not AtlasVerifier(pp).verify(proof, (io[0], bad_out))
+
+    def test_tampered_claim_rejected(self):
+        pp, proof, io = self._setup()
+        k = sorted(proof.opening_claims)[0]
+        proof.opening_claims[k] = proof.opening_claims[k] + Fr.one()
+        assert not AtlasVerifier(pp).verify(proof, io)
+
+    def test_tampered_sumcheck_rejected(self):
+        pp, proof, io = self._setup()
+        key = next(k for k in proof.proofs if k[1] == "Execution")
+        proof.proofs[key].compressed_polys[0].coeffs_except_linear_term[0] = Fr(12345)
+        assert not AtlasVerifier(pp).verify(proof, io)
+
+    def test_tampered_commitment_rejected(self):
+        pp, proof, io = self._setup()
+        k = sorted(proof.commitments)[0]
+        proof.commitments[k] = proof.commitments[k] + proof.commitments[k]
+        assert not AtlasVerifier(pp).verify(proof, io)
+
+    def test_tampered_reduced_claim_rejected(self):
+        pp, proof, io = self._setup()
+        proof.reduced_claims[0] = proof.reduced_claims[0] + Fr.one()
+        assert not AtlasVerifier(pp).verify(proof, io)
