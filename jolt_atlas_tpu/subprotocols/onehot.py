@@ -46,14 +46,14 @@ def chunk_values(operands: np.ndarray, num_chunks: int) -> np.ndarray:
     return out
 
 
-def one_hot_poly(chunks_d: np.ndarray) -> MLPoly:
-    """(T,) chunk values -> flattened (K_CHUNK * T) one-hot MLPoly.
+def one_hot_poly(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
+    """(T,) chunk values -> flattened (K * T) one-hot MLPoly.
 
-    Layout is address-major: index = k * T + j (big-endian: the LOG_K_CHUNK
-    address variables come first, then the cycle variables).
+    Layout is address-major: index = k * T + j (big-endian: the address
+    variables come first, then the cycle variables).
     """
     T = len(chunks_d)
-    arr = np.zeros((K_CHUNK, T), dtype=np.int64)
+    arr = np.zeros((K, T), dtype=np.int64)
     arr[chunks_d, np.arange(T)] = 1
     return MLPoly(ints=arr.reshape(-1))
 
@@ -76,19 +76,48 @@ TABLES = {
 }
 
 
-def derived_cycle_array(table_name: str, chunks_d: np.ndarray) -> np.ndarray:
+def table_vec(spec) -> np.ndarray:
+    """Resolve a table spec to its K_CHUNK-entry vector.
+
+    Spec forms: a name from TABLES; ("ltc", b) = [k < b] indicator;
+    ("eqc", b) = [k == b]; ("lut", values_tuple) = custom entries
+    (zero-padded to K_CHUNK) — used for tiny decomposed-exp sub-tables.
+    """
+    if isinstance(spec, str):
+        return TABLES[spec]
+    kind = spec[0]
+    if kind == "ltc":
+        return (np.arange(K_CHUNK) < spec[1]).astype(np.int64)
+    if kind == "eqc":
+        return (np.arange(K_CHUNK) == spec[1]).astype(np.int64)
+    if kind == "lut":
+        n = K_CHUNK
+        vals = np.asarray(spec[1], dtype=np.int64)
+        while n < len(vals):
+            n *= 2
+        v = np.zeros(n, dtype=np.int64)
+        v[: len(vals)] = vals
+        return v
+    if kind == "onesN":
+        return np.ones(spec[1], dtype=np.int64)
+    if kind == "identN":
+        return np.arange(spec[1], dtype=np.int64)
+    raise ValueError(f"unknown table spec {spec}")
+
+
+def derived_cycle_array(table_spec, chunks_d: np.ndarray) -> np.ndarray:
     """g(chunk_d(j)) per cycle j — the derived virtual cycle polynomial."""
-    return TABLES[table_name][chunks_d]
+    return table_vec(table_spec)[chunks_d]
 
 
-def compute_G(chunks_d: np.ndarray, eq_cycle) -> np.ndarray:
+def compute_G(chunks_d: np.ndarray, eq_cycle, K: int = K_CHUNK) -> np.ndarray:
     """G[k] = sum_{j: chunk_d(j)=k} eq_cycle[j]  (object-int field array).
 
     The cycle-bound chunk polynomial ra_d(k, r_cycle) (reference
     compute_ra_evals, shout.rs:532+).
     """
-    G = vec.zeros(K_CHUNK)
-    for k in range(K_CHUNK):
+    G = vec.zeros(K)
+    for k in range(K):
         mask = chunks_d == k
         if mask.any():
             G[k] = int(np.sum(eq_cycle[mask])) % vec.R
@@ -107,18 +136,19 @@ class AddressReadCheckProver(SumcheckInstanceProver):
     """
 
     def __init__(self, poly_id: CommittedPoly, sumcheck_id: SumcheckId,
-                 table_name: str, G: np.ndarray, r_cycle: list[Fr], claim: Fr,
+                 table_spec, G: np.ndarray, r_cycle: list[Fr], claim: Fr,
                  appends_opening: bool):
         self.poly_id = poly_id
         self.sumcheck_id = sumcheck_id
-        self.table = MLPoly(ints=TABLES[table_name])
+        self.table = MLPoly(ints=table_vec(table_spec))
         self.G = MLPoly(fvec=G.copy())
         self.r_cycle = r_cycle
         self.claim = claim
         self.appends_opening = appends_opening
+        self._rounds = self.table.num_vars
 
     def num_rounds(self) -> int:
-        return LOG_K_CHUNK
+        return self._rounds
 
     def degree(self) -> int:
         return 2
@@ -146,17 +176,17 @@ class AddressReadCheckProver(SumcheckInstanceProver):
 
 class AddressReadCheckVerifier(SumcheckInstanceVerifier):
     def __init__(self, poly_id: CommittedPoly, sumcheck_id: SumcheckId,
-                 table_name: str, r_cycle: list[Fr], claim: Fr,
+                 table_spec, r_cycle: list[Fr], claim: Fr,
                  appends_opening: bool):
         self.poly_id = poly_id
         self.sumcheck_id = sumcheck_id
-        self.table_name = table_name
+        self.table_spec = table_spec
         self.r_cycle = r_cycle
         self.claim = claim
         self.appends_opening = appends_opening
 
     def num_rounds(self) -> int:
-        return LOG_K_CHUNK
+        return len(table_vec(self.table_spec)).bit_length() - 1
 
     def degree(self) -> int:
         return 2
@@ -165,7 +195,7 @@ class AddressReadCheckVerifier(SumcheckInstanceVerifier):
         return self.claim
 
     def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
-        g_eval = MLPoly(ints=TABLES[self.table_name]).evaluate(list(r))
+        g_eval = MLPoly(ints=table_vec(self.table_spec)).evaluate(list(r))
         ra_claim = accumulator.claim_of(
             OpeningId.committed(self.poly_id, self.sumcheck_id))
         return g_eval * ra_claim

@@ -102,6 +102,24 @@ def unsigned_recon_terms(C: int, p: str, scale: int = 1):
     return [(Fr(scale * (1 << (4 * d))), [f"{p}v{d}"]) for d in range(C)]
 
 
+def lt_const_terms(C: int, p: str, const: int):
+    """Terms for the MSB-first comparison indicator LT(value, const) over C
+    4-bit chunks (the chunked analogue of the reference's UnsignedLessThan
+    prefix-suffix table, lookup_tables/unsigned_less_than.rs):
+        LT = sum_i ( prod_{l>i} [chunk_l == const_l] ) * [chunk_i < const_i].
+    Returns (terms, derived_spec)."""
+    dch = [(const >> (4 * l)) & 0xF for l in range(C)]
+    terms = []
+    spec = {}
+    for i in range(C):
+        factors = [f"{p}eqc{l}" for l in range(i + 1, C)] + [f"{p}ltc{i}"]
+        terms.append((Fr.one(), factors))
+        spec[f"{p}ltc{i}"] = (i, ("ltc", dch[i]))
+    for l in range(1, C):
+        spec[f"{p}eqc{l}"] = (l, ("eqc", dch[l]))
+    return terms, spec
+
+
 def eval_clamp_reference(acc: np.ndarray) -> np.ndarray:
     return np.clip(acc, -(2**31), 2**31 - 1).astype(np.int64)
 
@@ -138,15 +156,19 @@ class CycleExecutionProver(SumcheckInstanceProver):
         cache = {n: p.sumcheck_evals(d, BindingOrder.HighToLow)
                  for n, p in self.polys.items()}
         e_eq = self.eq.sumcheck_evals(d, BindingOrder.HighToLow)
+        half = len(e_eq[0])
         points = []
         for t in range(d):  # evals at 0, 2, ..., d
             acc = None
             for coeff, factors in self.terms:
-                prod = None
-                for name in factors:
-                    ev = cache[name][t]
-                    prod = ev if prod is None else vec.vmul(prod, ev)
-                term = vec.vscale(prod, coeff)
+                if factors:
+                    prod = None
+                    for name in factors:
+                        ev = cache[name][t]
+                        prod = ev if prod is None else vec.vmul(prod, ev)
+                    term = vec.vscale(prod, coeff)
+                else:  # constant term: coeff * 1
+                    term = np.full(half, coeff.v, dtype=object)
                 acc = term if acc is None else vec.vadd(acc, term)
             points.append(vec.vsum(vec.vmul(e_eq[t], acc)))
         return UniPoly.from_evals_and_hint(previous_claim, points)
@@ -192,7 +214,7 @@ class CycleExecutionVerifier(SumcheckInstanceVerifier):
                   for name, oid in self.opening_specs}
         acc = Fr.zero()
         for coeff, factors in self.terms:
-            prod = coeff
+            prod = coeff  # empty factor list = constant term
             for name in factors:
                 prod = prod * claims[name]
             acc = acc + prod

@@ -145,6 +145,21 @@ def node_witness(node, model, trace):
         rem = np.mod(acc, np.int64(1) << np.int64(s))
         fam("ClampRaD", to_unsigned(q, 4 * MUL_SAT_CHUNKS), MUL_SAT_CHUNKS)
         fam("RescaleRemainderRaD", rem.astype(np.uint64), s // 4)
+    elif isinstance(op, FOPS.Sum):
+        x = trace.node_outputs[node.inputs[0]]
+        acc = padded_flat(np.sum(x.astype(np.int64), axis=tuple(op.axes),
+                                 keepdims=True))
+        fam("ClampRaD", to_unsigned(acc, 4 * MUL_SAT_CHUNKS), MUL_SAT_CHUNKS)
+    elif isinstance(op, (FOPS.GatherSmall, FOPS.GatherLarge)):
+        idx = padded_flat(trace.node_outputs[node.inputs[1]]).astype(np.int64)
+        V = trace.node_outputs[node.inputs[0]].shape[0]
+        polys[CommittedPoly.make("GatherRa", node.idx)] = \
+            onehot.one_hot_poly(idx, K=V)
+    elif isinstance(op, FOPS.ScalarConstDiv):
+        x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
+        rem = np.mod(x, op.divisor)
+        fam("ScalarConstDivNodeRemainder", rem.astype(np.uint64),
+            _scdiv_chunks(op.divisor))
     return polys, chunks
 
 
@@ -165,112 +180,232 @@ def node_committed_polys(node) -> list[CommittedPoly]:
 
 
 # ---------------------------------------------------------------------------
-# einsum contraction sumcheck (mk,kn->mn family; reference ops/einsum/dot.rs)
+# einsum contraction sumcheck — generic two-operand contraction engine
+# (reference ops/einsum/dot.rs + the 7 layout families, ops/einsum/*.rs)
 # ---------------------------------------------------------------------------
 
+class EinsumLayout:
+    """Static index bookkeeping for a two-operand contraction equation.
+
+    Sumcheck domain = `shared` chars (in the output AND both operands, e.g.
+    batch dims — they must stay inside the sum, weighted by eq) followed by
+    `contract` chars (in both operands but not the output):
+        acc(r) = sum_{shared,contract} eq(r_shared, .) * A_bound * B_bound
+    A_bound partially evaluates A at its *exclusive* out chars.
+    """
+
+    def __init__(self, equation: str, in_dims: list[tuple], out_dims: tuple):
+        lhs, rhs = equation.replace(" ", "").split("->")
+        self.terms = lhs.split(",")
+        assert len(self.terms) == 2, "einsum proofs support two operands"
+        self.out_chars = list(rhs)
+        seen = []
+        for term in self.terms:
+            for ch in term:
+                if ch not in rhs and ch not in seen:
+                    seen.append(ch)
+        self.contract_chars = seen
+        for ch in self.contract_chars:
+            assert all(ch in t for t in self.terms), \
+                f"contraction char {ch} must appear in both operands"
+        self.shared_chars = [ch for ch in rhs
+                             if all(ch in t for t in self.terms)]
+        self.domain_chars = self.shared_chars + self.contract_chars
+        self.sizes = {}
+        for term, dims in zip(self.terms, in_dims):
+            for ch, d in zip(term, dims):
+                assert self.sizes.setdefault(ch, d) == d
+        for ch, d in zip(rhs, out_dims):
+            assert self.sizes.setdefault(ch, d) == d
+
+    def char_vars(self, ch) -> int:
+        return self.sizes[ch].bit_length() - 1
+
+    def domain_vars(self) -> int:
+        return sum(self.char_vars(c) for c in self.domain_chars)
+
+    def degree(self) -> int:
+        return 3 if self.shared_chars else 2
+
+    def split_out_point(self, r: list[Fr]) -> dict:
+        groups = {}
+        i = 0
+        for ch in self.out_chars:
+            v = self.char_vars(ch)
+            groups[ch] = r[i:i + v]
+            i += v
+        assert i == len(r)
+        return groups
+
+    def split_domain_point(self, r_c: list[Fr]) -> dict:
+        groups = {}
+        i = 0
+        for ch in self.domain_chars:
+            v = self.char_vars(ch)
+            groups[ch] = r_c[i:i + v]
+            i += v
+        return groups
+
+    def operand_point(self, term: str, out_groups: dict, c_groups: dict):
+        pt = []
+        for ch in term:
+            pt.extend(c_groups[ch] if ch in c_groups else out_groups[ch])
+        return pt
+
+    def exclusive_chars(self, term: str) -> list[str]:
+        other = self.terms[1] if term == self.terms[0] else self.terms[0]
+        return [ch for ch in term if ch in self.out_chars and ch not in other]
+
+    def bound_operand(self, arr: np.ndarray, term: str, out_groups: dict):
+        """Partial-evaluate at exclusive out chars; flatten remaining axes
+        (shared + contract) in canonical domain order (absent chars -> the
+        operand is constant along them, broadcast)."""
+        obj = vec.from_ints(arr.astype(np.int64))
+        excl = self.exclusive_chars(term)
+        eq_parts = [eq_evals(out_groups[ch]) for ch in term if ch in excl]
+        sub = ",".join([term] + [ch for ch in term if ch in excl])
+        kept = [ch for ch in self.domain_chars if ch in term]
+        out_sub = "".join(kept)
+        bound = np.einsum(f"{sub}->{out_sub}", obj, *eq_parts) % vec.R
+        # broadcast along domain chars missing from this term
+        full_shape = tuple(self.sizes[ch] for ch in self.domain_chars)
+        expand = [self.domain_chars.index(ch) for ch in kept]
+        view = bound
+        for ax in range(len(self.domain_chars)):
+            if ax not in expand:
+                view = np.expand_dims(view, ax)
+        view = np.broadcast_to(view, full_shape)
+        return MLPoly(fvec=np.ascontiguousarray(view).reshape(-1))
+
+    def eq_shared_poly(self, out_groups: dict) -> MLPoly | None:
+        if not self.shared_chars:
+            return None
+        r_shared = []
+        for ch in self.shared_chars:
+            r_shared.extend(out_groups[ch])
+        eq = eq_evals(r_shared)
+        n_contract = 1
+        for ch in self.contract_chars:
+            n_contract *= self.sizes[ch]
+        full = np.repeat(eq, n_contract)
+        return MLPoly(fvec=full)
+
+
 class EinsumContractionProver(SumcheckInstanceProver):
-    def __init__(self, node, a_bound: MLPoly, b_bound: MLPoly, claim: Fr,
-                 r_m: list[Fr], r_n: list[Fr], producers: tuple[int, int]):
+    def __init__(self, node, layout: EinsumLayout, bounds: list[MLPoly],
+                 claim: Fr, out_groups: dict, producers: list[int]):
         self.node = node
-        self.a = a_bound
-        self.b = b_bound
+        self.layout = layout
+        self.bounds = bounds
+        self.eq_shared = layout.eq_shared_poly(out_groups)
         self.claim = claim
-        self.r_m, self.r_n = r_m, r_n
+        self.out_groups = out_groups
         self.producers = producers
-        self._rounds = a_bound.num_vars
+        self._rounds = layout.domain_vars()
 
     def num_rounds(self):
         return self._rounds
 
     def degree(self):
-        return 2
+        return self.layout.degree()
 
     def input_claim(self, accumulator):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        ea = self.a.sumcheck_evals(2, BindingOrder.HighToLow)
-        eb = self.b.sumcheck_evals(2, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(ea[t], eb[t])) for t in range(2)]
+        d = self.degree()
+        ea = self.bounds[0].sumcheck_evals(d, BindingOrder.HighToLow)
+        eb = self.bounds[1].sumcheck_evals(d, BindingOrder.HighToLow)
+        if self.eq_shared is not None:
+            ee = self.eq_shared.sumcheck_evals(d, BindingOrder.HighToLow)
+            pts = [vec.vsum(vec.vmul(ee[t], vec.vmul(ea[t], eb[t])))
+                   for t in range(d)]
+        else:
+            pts = [vec.vsum(vec.vmul(ea[t], eb[t])) for t in range(d)]
         return UniPoly.from_evals_and_hint(previous_claim, pts)
 
     def ingest_challenge(self, r, round):
-        self.a.bind(r, BindingOrder.HighToLow)
-        self.b.bind(r, BindingOrder.HighToLow)
+        for b in self.bounds:
+            b.bind(r, BindingOrder.HighToLow)
+        if self.eq_shared is not None:
+            self.eq_shared.bind(r, BindingOrder.HighToLow)
 
     def cache_openings(self, accumulator, transcript, r):
-        r_k = list(r)
-        accumulator.append_virtual(
-            transcript, input_opening_id(self.node.idx, 0, self.producers[0]),
-            self.r_m + r_k, self.a.final_claim())
-        accumulator.append_virtual(
-            transcript, input_opening_id(self.node.idx, 1, self.producers[1]),
-            r_k + self.r_n, self.b.final_claim())
+        c_groups = self.layout.split_domain_point(list(r))
+        for slot, (term, prod, bound) in enumerate(
+                zip(self.layout.terms, self.producers, self.bounds)):
+            pt = self.layout.operand_point(term, self.out_groups, c_groups)
+            accumulator.append_virtual(
+                transcript, input_opening_id(self.node.idx, slot, prod),
+                pt, bound.final_claim())
 
 
 class EinsumContractionVerifier(SumcheckInstanceVerifier):
-    def __init__(self, node, log_k: int, claim: Fr, r_m, r_n, producers):
+    def __init__(self, node, layout: EinsumLayout, claim: Fr,
+                 out_groups: dict, producers: list[int]):
         self.node = node
-        self.log_k = log_k
+        self.layout = layout
         self.claim = claim
-        self.r_m, self.r_n = r_m, r_n
+        self.out_groups = out_groups
         self.producers = producers
 
     def num_rounds(self):
-        return self.log_k
+        return self.layout.domain_vars()
 
     def degree(self):
-        return 2
+        return self.layout.degree()
 
     def input_claim(self, accumulator):
         return self.claim
 
     def cache_openings(self, accumulator, transcript, r):
-        r_k = list(r)
-        accumulator.append_virtual(
-            transcript, input_opening_id(self.node.idx, 0, self.producers[0]),
-            self.r_m + r_k)
-        accumulator.append_virtual(
-            transcript, input_opening_id(self.node.idx, 1, self.producers[1]),
-            r_k + self.r_n)
+        c_groups = self.layout.split_domain_point(list(r))
+        for slot, (term, prod) in enumerate(
+                zip(self.layout.terms, self.producers)):
+            pt = self.layout.operand_point(term, self.out_groups, c_groups)
+            accumulator.append_virtual(
+                transcript, input_opening_id(self.node.idx, slot, prod), pt)
 
     def expected_output_claim(self, accumulator, r):
-        a = accumulator.get_opening(
-            input_opening_id(self.node.idx, 0, self.producers[0]))[1]
-        b = accumulator.get_opening(
-            input_opening_id(self.node.idx, 1, self.producers[1]))[1]
-        return a * b
+        acc = Fr.one()
+        for slot, prod in enumerate(self.producers):
+            acc = acc * accumulator.get_opening(
+                input_opening_id(self.node.idx, slot, prod))[1]
+        if self.layout.shared_chars:
+            c_groups = self.layout.split_domain_point(list(r))
+            r_shared = []
+            pt_shared = []
+            for ch in self.layout.shared_chars:
+                r_shared.extend(self.out_groups[ch])
+                pt_shared.extend(c_groups[ch])
+            from ..poly.eq import eq_eval_scalar
+            acc = acc * eq_eval_scalar(r_shared, pt_shared)
+        return acc
 
 
 # ---------------------------------------------------------------------------
 # operator prove / verify dispatch
 # ---------------------------------------------------------------------------
 
+_PROVERS = {}
+_VERIFIERS = {}
+
+
+def _register(op_types, prove_fn, verify_fn):
+    for t in op_types:
+        _PROVERS[t] = prove_fn
+        _VERIFIERS[t] = verify_fn
+
+
 def prove_node(node, ctx):
     op = node.operator
     if isinstance(op, (FOPS.Input, FOPS.Constant)):
         return  # claims checked directly against public MLEs by the verifier
     r, out_claim = ctx.reduced[node.idx]
-    if isinstance(op, (FOPS.Identity, FOPS.Reshape)):
-        _prove_passthrough(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Broadcast):
-        _prove_broadcast(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.MoveAxis):
-        _prove_moveaxis(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Slice):
-        _prove_slice(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Neg):
-        _prove_neg(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.ReLU):
-        _prove_relu(node, ctx, r, out_claim)
-    elif isinstance(op, (FOPS.Add, FOPS.Sub)):
-        _prove_addsub(node, ctx, r, out_claim)
-    elif isinstance(op, (FOPS.Mul, FOPS.Square)):
-        _prove_mul(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Einsum):
-        _prove_einsum(node, ctx, r, out_claim)
-    else:
+    fn = _PROVERS.get(type(op))
+    if fn is None:
         raise NotImplementedError(f"prove: {op.name}")
+    fn(node, ctx, r, out_claim)
 
 
 def verify_node(node, ctx):
@@ -278,26 +413,10 @@ def verify_node(node, ctx):
     if isinstance(op, (FOPS.Input, FOPS.Constant)):
         return
     r, out_claim = ctx.reduced[node.idx]
-    if isinstance(op, (FOPS.Identity, FOPS.Reshape)):
-        _verify_passthrough(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Broadcast):
-        _verify_broadcast(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.MoveAxis):
-        _verify_moveaxis(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Slice):
-        _verify_slice(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Neg):
-        _verify_neg(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.ReLU):
-        _verify_relu(node, ctx, r, out_claim)
-    elif isinstance(op, (FOPS.Add, FOPS.Sub)):
-        _verify_addsub(node, ctx, r, out_claim)
-    elif isinstance(op, (FOPS.Mul, FOPS.Square)):
-        _verify_mul(node, ctx, r, out_claim)
-    elif isinstance(op, FOPS.Einsum):
-        _verify_einsum(node, ctx, r, out_claim)
-    else:
+    fn = _VERIFIERS.get(type(op))
+    if fn is None:
         raise NotImplementedError(f"verify: {op.name}")
+    fn(node, ctx, r, out_claim)
 
 
 # -- claim plumbing ops ------------------------------------------------------
@@ -637,8 +756,6 @@ def _einsum_terms(gamma: Fr, scale: int):
 
 def _prove_einsum(node, ctx, r, out_claim):
     op = node.operator
-    assert op.equation.replace(" ", "") == "mk,kn->mn", \
-        f"einsum layout {op.equation} not yet supported"
     gamma = ctx.transcript.challenge_scalar()
     terms, spec, rspec = _einsum_terms(gamma, op.scale)
     qchunks = ctx.chunks[(node.idx, "ClampRaD")]
@@ -667,20 +784,15 @@ def _prove_einsum(node, ctx, r, out_claim):
     ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "RaChecks")] = ra_proof
 
-    # contraction: acc(r_sc) = sum_k A(r_m, k) B(k, r_n)
-    M, K = a_in.shape
-    K2, N = b_in.shape
-    r_m = list(r_sc)[: M.bit_length() - 1]
-    r_n = list(r_sc)[M.bit_length() - 1:]
+    # contraction: acc(r_sc) = sum_{contract} prod operands
+    in_dims = [tuple(ctx.node(i).output_dims) for i in node.inputs]
+    layout = EinsumLayout(op.equation, in_dims, tuple(node.output_dims))
+    out_groups = layout.split_out_point(list(r_sc))
     acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
-    eq_m = eq_evals(r_m)
-    eq_n = eq_evals(r_n)
-    a_obj = vec.from_ints(a_in.astype(np.int64))
-    b_obj = vec.from_ints(b_in.astype(np.int64))
-    a_bound = MLPoly(fvec=(a_obj * eq_m[:, None] % vec.R).sum(axis=0) % vec.R)
-    b_bound = MLPoly(fvec=(b_obj * eq_n[None, :] % vec.R).sum(axis=1) % vec.R)
-    cinst = EinsumContractionProver(node, a_bound, b_bound, acc_claim, r_m, r_n,
-                                    (node.inputs[0], node.inputs[1]))
+    bounds = [layout.bound_operand(ctx.trace.node_outputs[i], term, out_groups)
+              for i, term in zip(node.inputs, layout.terms)]
+    cinst = EinsumContractionProver(node, layout, bounds, acc_claim,
+                                    out_groups, list(node.inputs))
     cproof, _ = Sumcheck.prove(cinst, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "EinsumMatmul")] = cproof
 
@@ -707,13 +819,569 @@ def _verify_einsum(node, ctx, r, out_claim):
     BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
                            ctx.accumulator, ctx.transcript)
 
-    a_dims = tuple(ctx.node(node.inputs[0]).output_dims)
-    M, K = a_dims
-    r_m = list(r_sc)[: M.bit_length() - 1]
-    r_n = list(r_sc)[M.bit_length() - 1:]
+    in_dims = [tuple(ctx.node(i).output_dims) for i in node.inputs]
+    layout = EinsumLayout(op.equation, in_dims, tuple(node.output_dims))
+    out_groups = layout.split_out_point(list(r_sc))
     acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
-    cinst = EinsumContractionVerifier(node, K.bit_length() - 1, acc_claim,
-                                      r_m, r_n,
-                                      (node.inputs[0], node.inputs[1]))
+    cinst = EinsumContractionVerifier(node, layout, acc_claim, out_groups,
+                                      list(node.inputs))
     Sumcheck.verify(ctx.proofs[(node.idx, "EinsumMatmul")], cinst,
                     ctx.accumulator, ctx.transcript)
+
+
+# ---------------------------------------------------------------------------
+# Sum (axis reduction with saturation; reference ops/sum + SumReduction)
+# ---------------------------------------------------------------------------
+
+class SumAxisContractionProver(SumcheckInstanceProver):
+    """claim = sum over summed-axis vars of in(kept at r', summed free)."""
+
+    def __init__(self, node, bound: MLPoly, claim: Fr, in_axes_info, producer):
+        self.node = node
+        self.bound = bound
+        self.claim = claim
+        self.in_axes_info = in_axes_info  # list of (is_summed, r_group or var count)
+        self.producer = producer
+
+    def num_rounds(self):
+        return self.bound.num_vars
+
+    def degree(self):
+        return 1
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        e = self.bound.sumcheck_evals(1, BindingOrder.HighToLow)
+        return UniPoly.from_evals_and_hint(previous_claim, [vec.vsum(e[0])])
+
+    def ingest_challenge(self, r, round):
+        self.bound.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        pt = _sum_input_point(self.in_axes_info, list(r))
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.producer),
+            pt, self.bound.final_claim())
+
+
+class SumAxisContractionVerifier(SumcheckInstanceVerifier):
+    def __init__(self, node, rounds: int, claim: Fr, in_axes_info, producer):
+        self.node = node
+        self._rounds = rounds
+        self.claim = claim
+        self.in_axes_info = in_axes_info
+        self.producer = producer
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 1
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        pt = _sum_input_point(self.in_axes_info, list(r))
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.producer), pt)
+
+    def expected_output_claim(self, accumulator, r):
+        return accumulator.get_opening(
+            input_opening_id(self.node.idx, 0, self.producer))[1]
+
+
+def _sum_input_point(in_axes_info, r_c):
+    pt = []
+    i = 0
+    for is_summed, payload in in_axes_info:
+        if is_summed:
+            pt.extend(r_c[i:i + payload])
+            i += payload
+        else:
+            pt.extend(payload)
+    assert i == len(r_c)
+    return pt
+
+
+def _sum_terms(gamma: Fr):
+    C = MUL_SAT_CHUNKS
+    terms, spec = sat_clamp_terms(C, "c")
+    terms.append((gamma, ["acc"]))
+    for coeff, factors in recon_terms(C, "c"):
+        terms.append((Fr.zero() - gamma * coeff, factors))
+    return terms, spec
+
+
+def _sum_axes_setup(node, ctx, r_sc):
+    op = node.operator
+    in_dims = tuple(ctx.node(node.inputs[0]).output_dims)
+    out_groups = split_point(list(r_sc), axis_var_groups(tuple(node.output_dims)))
+    info = []
+    for ax, d in enumerate(in_dims):
+        if ax in op.axes:
+            info.append((True, d.bit_length() - 1))
+        else:
+            info.append((False, out_groups[ax]))
+    rounds = sum(p for s, p in info if s)
+    return info, rounds, out_groups
+
+
+def _prove_sum(node, ctx, r, out_claim):
+    op = node.operator
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec = _sum_terms(gamma)
+    chunks = ctx.chunks[(node.idx, "ClampRaD")]
+    polys, specs = build_derived_polys(node.idx, spec, chunks)
+    x = ctx.trace.node_outputs[node.inputs[0]]
+    acc = padded_flat(np.sum(x.astype(np.int64), axis=tuple(op.axes),
+                             keepdims=True))
+    polys["acc"] = MLPoly(ints=acc)
+    specs.append(("acc", acc_opening_id(node.idx)))
+    inst = CycleExecutionProver(polys, terms, r, out_claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    fam = ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                      MUL_SAT_CHUNKS, chunks)
+    ra_inst = build_ra_checks_provers(node.idx, [(fam, spec)], list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+    info, rounds, out_groups = _sum_axes_setup(node, ctx, r_sc)
+    acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
+    # bind kept axes of the input at r groups; flatten summed axes
+    obj = vec.from_ints(x.astype(np.int64))
+    term = "".join(chr(ord("a") + i) for i in range(x.ndim))
+    eq_parts = [eq_evals(payload) for (s, payload) in info if not s]
+    sub = ",".join([term] + [term[ax] for ax, (s, _) in enumerate(info) if not s])
+    out_sub = "".join(term[ax] for ax, (s, _) in enumerate(info) if s)
+    bound = np.einsum(f"{sub}->{out_sub}", obj, *eq_parts) % vec.R
+    cinst = SumAxisContractionProver(node, MLPoly(fvec=bound.reshape(-1)),
+                                     acc_claim, info, node.inputs[0])
+    cproof, _ = Sumcheck.prove(cinst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "SumReduction")] = cproof
+
+
+def _verify_sum(node, ctx, r, out_claim):
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec = _sum_terms(gamma)
+    _, specs = _derived_specs(node.idx, spec)
+    specs.append(("acc", acc_opening_id(node.idx)))
+    inst = CycleExecutionVerifier(terms, r, out_claim, specs)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fam = ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                      MUL_SAT_CHUNKS, None)
+    ra_inst = build_ra_checks_verifiers(node.idx, [(fam, spec)], list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+    info, rounds, _ = _sum_axes_setup(node, ctx, r_sc)
+    acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
+    cinst = SumAxisContractionVerifier(node, rounds, acc_claim, info,
+                                       node.inputs[0])
+    Sumcheck.verify(ctx.proofs[(node.idx, "SumReduction")], cinst,
+                    ctx.accumulator, ctx.transcript)
+
+
+# ---------------------------------------------------------------------------
+# Gather (small dictionaries; reference ops/gather/small.rs)
+# ---------------------------------------------------------------------------
+
+class GatherReadRafProver(SumcheckInstanceProver):
+    """out(r) + gamma*idx(r_i) = sum_v G(v) * (dict(v, r_e) + gamma*ident(v))."""
+
+    def __init__(self, node, G: MLPoly, val: MLPoly, claim: Fr,
+                 r_i: list[Fr], r_e: list[Fr], dict_producer: int):
+        self.node = node
+        self.G = G
+        self.val = val
+        self.claim = claim
+        self.r_i, self.r_e = r_i, r_e
+        self.dict_producer = dict_producer
+
+    def num_rounds(self):
+        return self.G.num_vars
+
+    def degree(self):
+        return 2
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        eg = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
+        ev = self.val.sumcheck_evals(2, BindingOrder.HighToLow)
+        pts = [vec.vsum(vec.vmul(eg[t], ev[t])) for t in range(2)]
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        self.G.bind(r, BindingOrder.HighToLow)
+        self.val.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_v = list(r)
+        accumulator.append_committed(
+            transcript,
+            OpeningId.committed(CommittedPoly.make("GatherRa", self.node.idx),
+                               SumcheckId.make("Raf")),
+            r_v + self.r_i, self.G.final_claim())
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.dict_producer),
+            r_v + self.r_e, self._dict_claim)
+
+
+class GatherReadRafVerifier(SumcheckInstanceVerifier):
+    def __init__(self, node, log_v: int, gamma: Fr, claim: Fr,
+                 r_i, r_e, dict_producer):
+        self.node = node
+        self.log_v = log_v
+        self.gamma = gamma
+        self.claim = claim
+        self.r_i, self.r_e = r_i, r_e
+        self.dict_producer = dict_producer
+
+    def num_rounds(self):
+        return self.log_v
+
+    def degree(self):
+        return 2
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_v = list(r)
+        accumulator.append_committed(
+            transcript,
+            OpeningId.committed(CommittedPoly.make("GatherRa", self.node.idx),
+                               SumcheckId.make("Raf")),
+            r_v + self.r_i)
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.dict_producer),
+            r_v + self.r_e)
+
+    def expected_output_claim(self, accumulator, r):
+        ra_claim = accumulator.claim_of(
+            OpeningId.committed(CommittedPoly.make("GatherRa", self.node.idx),
+                               SumcheckId.make("Raf")))
+        dict_claim = accumulator.get_opening(
+            input_opening_id(self.node.idx, 0, self.dict_producer))[1]
+        ident = Fr.zero()
+        for i, ri in enumerate(r):
+            ident = ident + ri * Fr(1 << (len(r) - 1 - i))
+        return ra_claim * (dict_claim + self.gamma * ident)
+
+
+def _prove_gather(node, ctx, r, out_claim):
+    dict_in = ctx.trace.node_outputs[node.inputs[0]]
+    idx_in = padded_flat(ctx.trace.node_outputs[node.inputs[1]])
+    V = dict_in.shape[0]
+    n = len(idx_in)
+    log_n = n.bit_length() - 1
+    r_i, r_e = list(r)[:log_n], list(r)[log_n:]
+    gamma = ctx.transcript.challenge_scalar()
+    # idx opening at r_i
+    idx_claim = MLPoly(ints=idx_in.astype(np.int64)).evaluate(r_i)
+    ctx.accumulator.append_virtual(
+        ctx.transcript, input_opening_id(node.idx, 1, node.inputs[1]), r_i,
+        idx_claim)
+    claim = out_claim + gamma * idx_claim
+
+    eq_i = eq_evals(r_i)
+    G = onehot.compute_G(idx_in.astype(np.int64), eq_i, K=V)
+    eq_e = eq_evals(r_e)
+    dict_flat = dict_in.reshape(V, -1)
+    dobj = vec.from_ints(dict_flat.astype(np.int64))
+    dict_bound = np.einsum("ve,e->v", dobj, eq_e) % vec.R
+    ident = np.arange(V, dtype=object)
+    val = (dict_bound + gamma.v * ident) % vec.R
+
+    inst = GatherReadRafProver(node, MLPoly(fvec=G.copy()),
+                               MLPoly(fvec=val), claim, r_i, r_e,
+                               node.inputs[0])
+    inst._dict_claim = None
+    # precompute dict claim lazily in cache: bind dict_bound alongside
+    inst_dict = MLPoly(fvec=dict_bound.copy())
+    orig_ingest = inst.ingest_challenge
+
+    def ingest(rr, rnd):
+        orig_ingest(rr, rnd)
+        inst_dict.bind(rr, BindingOrder.HighToLow)
+
+    inst.ingest_challenge = ingest
+    orig_cache = inst.cache_openings
+
+    def cache(acc_, tr_, rr):
+        inst._dict_claim = inst_dict.final_claim()
+        orig_cache(acc_, tr_, rr)
+
+    inst.cache_openings = cache
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+    # one-hot validity for GatherRa: hamming + booleanity over (V, n)
+    ra_poly = onehot.one_hot_poly(idx_in.astype(np.int64), K=V)
+    gammas = ctx.transcript.challenge_vector(1)
+    r_b = ctx.transcript.challenge_vector_optimized(ra_poly.num_vars)
+    pid = CommittedPoly.make("GatherRa", node.idx)
+    instances = [onehot.BooleanityProver([pid], [ra_poly], r_b, gammas),
+                 onehot.AddressReadCheckProver(
+                     pid, SumcheckId.make("HammingWeight"), ("onesN", V),
+                     G, r_i, Fr.one(), appends_opening=True)]
+    ra_proof, _ = BatchedSumcheck.prove(instances, ctx.accumulator,
+                                        ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_gather(node, ctx, r, out_claim):
+    dict_dims = tuple(ctx.node(node.inputs[0]).output_dims)
+    V = dict_dims[0]
+    n = ctx.padded_len(node.inputs[1])
+    log_n = n.bit_length() - 1
+    r_i, r_e = list(r)[:log_n], list(r)[log_n:]
+    gamma = ctx.transcript.challenge_scalar()
+    oid_idx = input_opening_id(node.idx, 1, node.inputs[1])
+    ctx.accumulator.append_virtual(ctx.transcript, oid_idx, r_i)
+    idx_claim = ctx.accumulator.get_opening(oid_idx)[1]
+    claim = out_claim + gamma * idx_claim
+    inst = GatherReadRafVerifier(node, V.bit_length() - 1, gamma, claim,
+                                 r_i, r_e, node.inputs[0])
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    gammas = ctx.transcript.challenge_vector(1)
+    log_vn = (V.bit_length() - 1) + log_n
+    r_b = ctx.transcript.challenge_vector_optimized(log_vn)
+    pid = CommittedPoly.make("GatherRa", node.idx)
+    instances = [onehot.BooleanityVerifier([pid], r_b, gammas),
+                 onehot.AddressReadCheckVerifier(
+                     pid, SumcheckId.make("HammingWeight"), ("onesN", V),
+                     r_i, Fr.one(), appends_opening=True)]
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], instances,
+                           ctx.accumulator, ctx.transcript)
+
+
+# ---------------------------------------------------------------------------
+# ScalarConstDiv (advice remainder + LT-const range check;
+# reference ops/scalar_const_div.rs)
+# ---------------------------------------------------------------------------
+
+def _scdiv_chunks(divisor: int) -> int:
+    return max(1, (max(divisor - 1, 1).bit_length() + 3) // 4)
+
+
+def _scdiv_terms(gamma: Fr, divisor: int):
+    C = _scdiv_chunks(divisor)
+    inv_d = Fr(divisor).inverse()
+    # out = (x - rem) / D
+    terms = [(inv_d, ["x"])]
+    spec = {}
+    for d in range(C):
+        spec[f"sv{d}"] = (d, "identity")
+        terms.append((Fr.zero() - inv_d * Fr(1 << (4 * d)), [f"sv{d}"]))
+    # gamma * (LT(rem, D) - 1) = 0
+    lt_terms, lt_spec = FW.lt_const_terms(C, "s", divisor)
+    spec.update({k: v for k, v in lt_spec.items()})
+    for coeff, factors in lt_terms:
+        terms.append((gamma * coeff, factors))
+    terms.append((Fr.zero() - gamma, []))
+    return terms, spec
+
+
+def _prove_scdiv(node, ctx, r, out_claim):
+    op = node.operator
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec = _scdiv_terms(gamma, op.divisor)
+    chunks = ctx.chunks[(node.idx, "ScalarConstDivNodeRemainder")]
+    polys, specs = build_derived_polys(node.idx, spec, chunks)
+    x = padded_flat(ctx.trace.node_outputs[node.inputs[0]])
+    polys["x"] = MLPoly(ints=x.astype(np.int64))
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    inst = CycleExecutionProver(polys, terms, r, out_claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    fam = ChunkFamily(
+        lambda d: CommittedPoly.make("ScalarConstDivNodeRemainder", node.idx, d),
+        _scdiv_chunks(op.divisor), chunks)
+    ra_inst = build_ra_checks_provers(node.idx, [(fam, spec)], list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_scdiv(node, ctx, r, out_claim):
+    op = node.operator
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec = _scdiv_terms(gamma, op.divisor)
+    _, specs = _derived_specs(node.idx, spec)
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    inst = CycleExecutionVerifier(terms, r, out_claim, specs)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fam = ChunkFamily(
+        lambda d: CommittedPoly.make("ScalarConstDivNodeRemainder", node.idx, d),
+        _scdiv_chunks(op.divisor), None)
+    ra_inst = build_ra_checks_verifiers(node.idx, [(fam, spec)], list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
+# ---------------------------------------------------------------------------
+# Concat (aligned power-of-two parts), Iff/And (boolean), IsNan
+# ---------------------------------------------------------------------------
+
+def _concat_parts(node, ctx, r):
+    op = node.operator
+    out_dims = tuple(node.output_dims)
+    rank = len(out_dims)
+    axis = op.axis if op.axis >= 0 else op.axis + rank
+    groups = split_point(list(r), axis_var_groups(out_dims))
+    nparts = len(node.inputs)
+    assert nparts & (nparts - 1) == 0, "concat parts must be a power of two"
+    k = nparts.bit_length() - 1
+    sel = groups[axis][:k]
+    rest_axis = groups[axis][k:]
+    points = []
+    weights = []
+    one = Fr.one()
+    for p, src in enumerate(node.inputs):
+        w = one
+        for i, c in enumerate(sel):
+            bit = (p >> (k - 1 - i)) & 1
+            w = w * (c if bit else one - c)
+        pt = []
+        for ax in range(rank):
+            if ax == axis:
+                pt.extend(rest_axis)
+            else:
+                pt.extend(groups[ax])
+        points.append(pt)
+        weights.append(w)
+        in_dims = tuple(ctx.node(src).output_dims)
+        assert in_dims[axis] == out_dims[axis] // nparts, \
+            "concat requires equal power-of-two parts"
+    return points, weights
+
+
+def _prove_concat(node, ctx, r, out_claim):
+    points, weights = _concat_parts(node, ctx, r)
+    for slot, (src, pt) in enumerate(zip(node.inputs, points)):
+        flat = padded_flat(ctx.trace.node_outputs[src])
+        claim = MLPoly(ints=flat.astype(np.int64)).evaluate(pt)
+        ctx.accumulator.append_virtual(
+            ctx.transcript, input_opening_id(node.idx, slot, src), pt, claim)
+
+
+def _verify_concat(node, ctx, r, out_claim):
+    points, weights = _concat_parts(node, ctx, r)
+    total = Fr.zero()
+    for slot, (src, pt, w) in enumerate(zip(node.inputs, points, weights)):
+        oid = input_opening_id(node.idx, slot, src)
+        ctx.accumulator.append_virtual(ctx.transcript, oid, pt)
+        total = total + w * ctx.accumulator.get_opening(oid)[1]
+    if total != out_claim:
+        raise VerificationError(f"concat claim mismatch at node {node.idx}")
+
+
+def _iff_terms(gamma: Fr):
+    # out = m*a + b - m*b ; mask booleanity gamma*(m^2 - m)
+    return [
+        (Fr.one(), ["m", "a"]),
+        (Fr.one(), ["b"]),
+        (Fr.zero() - Fr.one(), ["m", "b"]),
+        (gamma, ["m", "m"]),
+        (Fr.zero() - gamma, ["m"]),
+    ]
+
+
+def _prove_iff(node, ctx, r, out_claim):
+    gamma = ctx.transcript.challenge_scalar()
+    m = padded_flat(ctx.trace.node_outputs[node.inputs[0]])
+    a = padded_flat(ctx.trace.node_outputs[node.inputs[1]])
+    b = padded_flat(ctx.trace.node_outputs[node.inputs[2]])
+    assert set(np.unique(m)) <= {0, 1}, "Iff requires a boolean mask"
+    polys = {"m": MLPoly(ints=m.astype(np.int64)),
+             "a": MLPoly(ints=a.astype(np.int64)),
+             "b": MLPoly(ints=b.astype(np.int64))}
+    specs = [(nm, input_opening_id(node.idx, i, node.inputs[i]))
+             for i, nm in enumerate(["m", "a", "b"])]
+    inst = CycleExecutionProver(polys, _iff_terms(gamma), r, out_claim, specs)
+    proof, _ = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+
+def _verify_iff(node, ctx, r, out_claim):
+    gamma = ctx.transcript.challenge_scalar()
+    specs = [(nm, input_opening_id(node.idx, i, node.inputs[i]))
+             for i, nm in enumerate(["m", "a", "b"])]
+    inst = CycleExecutionVerifier(_iff_terms(gamma), r, out_claim, specs)
+    Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                    ctx.accumulator, ctx.transcript)
+
+
+def _and_terms(gamma: Fr):
+    # boolean inputs: out = a*b; booleanity of both
+    return [
+        (Fr.one(), ["a", "b"]),
+        (gamma, ["a", "a"]), (Fr.zero() - gamma, ["a"]),
+        (gamma * gamma, ["b", "b"]), (Fr.zero() - gamma * gamma, ["b"]),
+    ]
+
+
+def _prove_and(node, ctx, r, out_claim):
+    gamma = ctx.transcript.challenge_scalar()
+    a = padded_flat(ctx.trace.node_outputs[node.inputs[0]])
+    b = padded_flat(ctx.trace.node_outputs[node.inputs[1]])
+    assert set(np.unique(a)) <= {0, 1} and set(np.unique(b)) <= {0, 1}, \
+        "And proof requires boolean operands"
+    polys = {"a": MLPoly(ints=a.astype(np.int64)),
+             "b": MLPoly(ints=b.astype(np.int64))}
+    specs = [(nm, input_opening_id(node.idx, i, node.inputs[i]))
+             for i, nm in enumerate(["a", "b"])]
+    inst = CycleExecutionProver(polys, _and_terms(gamma), r, out_claim, specs)
+    proof, _ = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+
+def _verify_and(node, ctx, r, out_claim):
+    gamma = ctx.transcript.challenge_scalar()
+    specs = [(nm, input_opening_id(node.idx, i, node.inputs[i]))
+             for i, nm in enumerate(["a", "b"])]
+    inst = CycleExecutionVerifier(_and_terms(gamma), r, out_claim, specs)
+    Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                    ctx.accumulator, ctx.transcript)
+
+
+def _prove_isnan(node, ctx, r, out_claim):
+    pass  # output is identically zero; checked by the verifier
+
+
+def _verify_isnan(node, ctx, r, out_claim):
+    if not out_claim.is_zero():
+        raise VerificationError(f"isnan claim nonzero at node {node.idx}")
+
+
+# ---------------------------------------------------------------------------
+# dispatch registration
+# ---------------------------------------------------------------------------
+
+_register([FOPS.Identity, FOPS.Reshape], _prove_passthrough, _verify_passthrough)
+_register([FOPS.Broadcast], _prove_broadcast, _verify_broadcast)
+_register([FOPS.MoveAxis], _prove_moveaxis, _verify_moveaxis)
+_register([FOPS.Slice], _prove_slice, _verify_slice)
+_register([FOPS.Neg], _prove_neg, _verify_neg)
+_register([FOPS.ReLU], _prove_relu, _verify_relu)
+_register([FOPS.Add, FOPS.Sub], _prove_addsub, _verify_addsub)
+_register([FOPS.Mul, FOPS.Square], _prove_mul, _verify_mul)
+_register([FOPS.Einsum], _prove_einsum, _verify_einsum)
+_register([FOPS.Sum], _prove_sum, _verify_sum)
+_register([FOPS.GatherSmall, FOPS.GatherLarge], _prove_gather, _verify_gather)
+_register([FOPS.ScalarConstDiv], _prove_scdiv, _verify_scdiv)
+_register([FOPS.Concat], _prove_concat, _verify_concat)
+_register([FOPS.Iff], _prove_iff, _verify_iff)
+_register([FOPS.And], _prove_and, _verify_and)
+_register([FOPS.IsNan], _prove_isnan, _verify_isnan)

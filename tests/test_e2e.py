@@ -180,3 +180,69 @@ class TestSoundness:
         pp, proof, io = self._setup()
         proof.reduced_claims[0] = proof.reduced_claims[0] + Fr.one()
         assert not AtlasVerifier(pp).verify(proof, io)
+
+
+class TestE2ENewOps:
+    def test_sum_axes(self):
+        b = ModelBuilder()
+        x = b.input([4, 8])
+        s = b.sum(x, [1])
+        b.output(s)
+        prove_and_verify(b.build(), [rng.integers(-100, 100, size=(4, 8)).astype(np.int32)])
+
+    def test_gather_small(self):
+        b = ModelBuilder()
+        dict_w = b.constant(rng.integers(-50, 50, size=(8, 4)).astype(np.int32))
+        idx = b.input([4])
+        g = b.gather(dict_w, idx)
+        b.output(g)
+        prove_and_verify(b.build(), [np.array([3, 0, 7, 1], dtype=np.int32)])
+
+    def test_scalar_const_div(self):
+        b = ModelBuilder()
+        x = b.input([8])
+        y = b.scalar_const_div(x, 6)  # non-power-of-two divisor
+        b.output(y)
+        prove_and_verify(b.build(), [rng.integers(-100, 100, size=8).astype(np.int32)])
+
+    def test_concat(self):
+        b = ModelBuilder()
+        x = b.input([4])
+        y = b.relu(x)
+        c = b.concat([x, y], axis=0)
+        b.output(c)
+        prove_and_verify(b.build(), [rng.integers(-30, 30, size=4).astype(np.int32)])
+
+    def test_iff_and(self):
+        b = ModelBuilder()
+        m = b.input([8])
+        a = b.input([8])
+        c = b.input([8])
+        z = b.iff(m, a, c)
+        w = b.and_(m, m)
+        out = b.add(z, w)
+        b.output(out)
+        mask = (rng.random(8) > 0.5).astype(np.int32)
+        prove_and_verify(b.build(), [mask,
+                                     rng.integers(-20, 20, size=8).astype(np.int32),
+                                     rng.integers(-20, 20, size=8).astype(np.int32)])
+
+    def test_batched_einsum(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([2, 4, 8])
+        w = b.constant(quantize_tensor(rng.normal(size=(2, 8, 4)) * 0.3, s))
+        y = b.einsum("bmk,bkn->bmn", [x, w])
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(2, 4, 8)), s)])
+
+    def test_attention_style_einsum(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        q = b.input([2, 2, 4, 8])   # r b m k
+        k = b.input([2, 2, 4, 8])   # r b n k
+        scores = b.einsum("rbmk,rbnk->bmn", [q, k])
+        b.output(scores)
+        qv = quantize_tensor(rng.normal(size=(2, 2, 4, 8)) * 0.3, s)
+        kv = quantize_tensor(rng.normal(size=(2, 2, 4, 8)) * 0.3, s)
+        prove_and_verify(b.build(), [qv, kv])
