@@ -117,10 +117,8 @@ def compute_G(chunks_d: np.ndarray, eq_cycle, K: int = K_CHUNK) -> np.ndarray:
     compute_ra_evals, shout.rs:532+).
     """
     G = vec.zeros(K)
-    for k in range(K):
-        mask = chunks_d == k
-        if mask.any():
-            G[k] = int(np.sum(eq_cycle[mask])) % vec.R
+    for j, k in enumerate(chunks_d):
+        G[int(k)] = (G[int(k)] + eq_cycle[j]) % vec.R
     return G
 
 
@@ -290,3 +288,189 @@ class BooleanityVerifier(SumcheckInstanceVerifier):
                 transcript,
                 OpeningId.committed(pid, SumcheckId.make("Booleanity")),
                 list(r))
+
+
+# ---------------------------------------------------------------------------
+# Full-table read-raf + ra-virtualization (reference shout.rs read_raf +
+# ra_virtual.rs): lookups into materialized tables up to 2^16 entries whose
+# one-hot read-address polynomial is committed as 4-bit chunks.
+# ---------------------------------------------------------------------------
+
+class ReadRafProver(SumcheckInstanceProver):
+    """rv_claim + gamma*raf_claim = sum_k G(k) * (Val(k) + gamma*k).
+
+    G(k) = sum_j eq(r_cycle, j) [index_j = k]. Final: virtual full-ra claim
+    at (r_address, r_cycle) (reference shout.rs:46-333).
+    """
+
+    def __init__(self, ra_opening_id: OpeningId, table: np.ndarray,
+                 indices: np.ndarray, gamma: Fr, claim: Fr, r_cycle: list[Fr]):
+        K = len(table)
+        assert K & (K - 1) == 0
+        self.ra_opening_id = ra_opening_id
+        self.gamma = gamma
+        self.claim = claim
+        self.r_cycle = r_cycle
+        eq_cycle = eq_evals(r_cycle)
+        self.G = MLPoly(fvec=compute_G(indices.astype(np.int64), eq_cycle, K=K))
+        ident = np.arange(K, dtype=object)
+        val = (vec.from_ints(table.astype(np.int64)) + gamma.v * ident) % vec.R
+        self.val = MLPoly(fvec=val)
+        self._rounds = K.bit_length() - 1
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 2
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        eg = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
+        ev = self.val.sumcheck_evals(2, BindingOrder.HighToLow)
+        pts = [vec.vsum(vec.vmul(eg[t], ev[t])) for t in range(2)]
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        self.G.bind(r, BindingOrder.HighToLow)
+        self.val.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_virtual(
+            transcript, self.ra_opening_id, list(r) + list(self.r_cycle),
+            self.G.final_claim())
+
+
+class ReadRafVerifier(SumcheckInstanceVerifier):
+    def __init__(self, ra_opening_id: OpeningId, table: np.ndarray,
+                 gamma: Fr, claim: Fr, r_cycle: list[Fr]):
+        self.ra_opening_id = ra_opening_id
+        self.table = table
+        self.gamma = gamma
+        self.claim = claim
+        self.r_cycle = r_cycle
+        self._rounds = len(table).bit_length() - 1
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 2
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_virtual(
+            transcript, self.ra_opening_id, list(r) + list(self.r_cycle))
+
+    def expected_output_claim(self, accumulator, r):
+        ra_claim = accumulator.get_opening(self.ra_opening_id)[1]
+        val_claim = MLPoly(ints=self.table.astype(np.int64)).evaluate(list(r))
+        ident = Fr.zero()
+        for i, ri in enumerate(r):
+            ident = ident + ri * Fr(1 << (len(r) - 1 - i))
+        return ra_claim * (val_claim + self.gamma * ident)
+
+
+class RaVirtualizationProver(SumcheckInstanceProver):
+    """ra(r_address, r_cycle) = sum_j eq(r_cycle, j) prod_d ra_d(chunk slice, j).
+
+    ra_d pre-bound at its 4-bit slice of r_address (chunk d = bits
+    [4d, 4d+4), i.e. r_address slice [nv-4(d+1) : nv-4d] big-endian).
+    Final: committed chunk openings at (r_addr_d, r_cycle')
+    (reference ra_virtual.rs:105-185).
+    """
+
+    def __init__(self, poly_id_fn, num_chunks: int, chunks: np.ndarray,
+                 r_address: list[Fr], r_cycle: list[Fr], claim: Fr,
+                 sumcheck_id: SumcheckId):
+        self.poly_id_fn = poly_id_fn
+        self.num_chunks = num_chunks
+        self.claim = claim
+        self.sumcheck_id = sumcheck_id
+        nv = len(r_address)
+        self.r_addr_slices = []
+        self.A = []
+        for d in range(num_chunks):
+            sl = r_address[nv - 4 * (d + 1): nv - 4 * d]
+            self.r_addr_slices.append(sl)
+            eq_d = eq_evals(sl)
+            self.A.append(MLPoly(fvec=eq_d[chunks[d]]))
+        self.eq = MLPoly(fvec=eq_evals(r_cycle))
+        self._rounds = len(r_cycle)
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return self.num_chunks + 1
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        d = self.degree()
+        ee = self.eq.sumcheck_evals(d, BindingOrder.HighToLow)
+        eas = [a.sumcheck_evals(d, BindingOrder.HighToLow) for a in self.A]
+        pts = []
+        for t in range(d):
+            prod = ee[t]
+            for ea in eas:
+                prod = vec.vmul(prod, ea[t])
+            pts.append(vec.vsum(prod))
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        self.eq.bind(r, BindingOrder.HighToLow)
+        for a in self.A:
+            a.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        for d in range(self.num_chunks):
+            accumulator.append_committed(
+                transcript,
+                OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id),
+                list(self.r_addr_slices[d]) + list(r),
+                self.A[d].final_claim())
+
+
+class RaVirtualizationVerifier(SumcheckInstanceVerifier):
+    def __init__(self, poly_id_fn, num_chunks: int, r_address: list[Fr],
+                 r_cycle: list[Fr], claim: Fr, sumcheck_id: SumcheckId):
+        self.poly_id_fn = poly_id_fn
+        self.num_chunks = num_chunks
+        self.r_address = r_address
+        self.r_cycle = r_cycle
+        self.claim = claim
+        self.sumcheck_id = sumcheck_id
+
+    def num_rounds(self):
+        return len(self.r_cycle)
+
+    def degree(self):
+        return self.num_chunks + 1
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def _slices(self):
+        nv = len(self.r_address)
+        return [self.r_address[nv - 4 * (d + 1): nv - 4 * d]
+                for d in range(self.num_chunks)]
+
+    def cache_openings(self, accumulator, transcript, r):
+        for d, sl in enumerate(self._slices()):
+            accumulator.append_committed(
+                transcript,
+                OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id),
+                list(sl) + list(r))
+
+    def expected_output_claim(self, accumulator, r):
+        acc = eq_eval_scalar(self.r_cycle, list(r))
+        for d in range(self.num_chunks):
+            acc = acc * accumulator.claim_of(
+                OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id))
+        return acc

@@ -183,8 +183,12 @@ class CycleExecutionProver(SumcheckInstanceProver):
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
         for name, oid in self.opening_specs:
-            accumulator.append_virtual(transcript, oid, list(r),
-                                       self.polys[name].final_claim())
+            if oid.is_virtual:
+                accumulator.append_virtual(transcript, oid, list(r),
+                                           self.polys[name].final_claim())
+            else:  # dense committed advice polynomial opened directly
+                accumulator.append_committed(transcript, oid, list(r),
+                                             self.polys[name].final_claim())
 
 
 class CycleExecutionVerifier(SumcheckInstanceVerifier):
@@ -207,7 +211,10 @@ class CycleExecutionVerifier(SumcheckInstanceVerifier):
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
         for _, oid in self.opening_specs:
-            accumulator.append_virtual(transcript, oid, list(r))
+            if oid.is_virtual:
+                accumulator.append_virtual(transcript, oid, list(r))
+            else:
+                accumulator.append_committed(transcript, oid, list(r))
 
     def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
         claims = {name: accumulator.get_opening(oid)[1]

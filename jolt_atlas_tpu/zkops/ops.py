@@ -160,6 +160,42 @@ def node_witness(node, model, trace):
         rem = np.mod(x, op.divisor)
         fam("ScalarConstDivNodeRemainder", rem.astype(np.uint64),
             _scdiv_chunks(op.divisor))
+    elif isinstance(op, (FOPS.Tanh, FOPS.Erf, FOPS.Sigmoid)):
+        fam_tag, _ = _ACT_FAMILY[type(op)]
+        x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
+        q = np.floor_divide(x, op.tau)
+        assert (np.abs(q) < (1 << 15)).all(), "teleport quotient exceeds i16"
+        u = np.mod(q, 1 << 16)
+        rem = x - q * op.tau
+        fam(fam_tag, u.astype(np.uint64), 4)
+        C_rem, _ = _teleport_rem_chunks(op)
+        fam("TeleportRangeCheckRaD", rem.astype(np.uint64), C_rem)
+    elif isinstance(op, (FOPS.Sin, FOPS.Cos)):
+        fam_tag, _ = _TRIG_FAMILY[type(op)]
+        x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
+        rem = np.mod(x, FOPS.FOUR_PI_APPROX)
+        q = (x - rem) // FOPS.FOUR_PI_APPROX
+        fam(fam_tag, rem.astype(np.uint64), 3)
+        polys[CommittedPoly.make("TeleportNodeQuotient", node.idx)] = \
+            MLPoly(ints=q)
+    elif isinstance(op, FOPS.MeanOfSquares):
+        x = trace.node_outputs[node.inputs[0]]
+        acc = padded_flat(op.acc_i64(x))
+        D = op.divisor()
+        qv = np.floor_divide(acc, D)
+        rem = np.mod(acc, D)
+        fam("ClampRaD", to_unsigned(qv, 4 * MUL_SAT_CHUNKS), MUL_SAT_CHUNKS)
+        fam("MeanOfSquaresRangeCheckRaD", rem.astype(np.uint64),
+            _mos_rem_chunks(op))
+    elif isinstance(op, FOPS.Cube):
+        a = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
+        assert (np.abs(a) < (1 << 20)).all(), "cube operand too large for i64"
+        acc = a * a * a
+        bits = 2 * op.scale
+        qv = np.floor_divide(acc, np.int64(1) << np.int64(bits))
+        rem = np.mod(acc, np.int64(1) << np.int64(bits))
+        fam("ClampRaD", to_unsigned(qv, 4 * MUL_SAT_CHUNKS), MUL_SAT_CHUNKS)
+        fam("RescaleRemainderRaD", rem.astype(np.uint64), bits // 4)
     return polys, chunks
 
 
@@ -1385,3 +1421,579 @@ _register([FOPS.Concat], _prove_concat, _verify_concat)
 _register([FOPS.Iff], _prove_iff, _verify_iff)
 _register([FOPS.And], _prove_and, _verify_and)
 _register([FOPS.IsNan], _prove_isnan, _verify_isnan)
+
+
+# ---------------------------------------------------------------------------
+# Neural-teleport activations: Tanh / Erf / Sigmoid (reference
+# ops/neural_teleport/): divide by tau, look the i16 quotient up in a 2^16
+# activation table via full-table read-raf + ra-virtualization, range-check
+# the remainder.
+# ---------------------------------------------------------------------------
+
+_ACT_FAMILY = {FOPS.Tanh: ("TanhRaD", "TanhRa"),
+               FOPS.Erf: ("ErfRaD", "ErfRa"),
+               FOPS.Sigmoid: ("SigmoidRaD", "SigmoidRa")}
+
+
+def _teleport_table(op) -> np.ndarray:
+    from ..frontend import nonlinearities as nl
+    from ..frontend.quantize import scale_to_multiplier
+    S = scale_to_multiplier(op.scale)
+    i = np.arange(1 << 16, dtype=np.int64)
+    q = np.where(i >= (1 << 15), i - (1 << 16), i)
+    tele = (q * op.tau).astype(np.int64)
+    if isinstance(op, FOPS.Tanh):
+        lo, hi = -(1 << (op.log_table - 1)), (1 << (op.log_table - 1)) - 1
+        return nl.tanh(np.clip(tele, lo, hi).astype(np.int32), S)
+    if isinstance(op, FOPS.Erf):
+        return nl.erffunc(np.clip(tele, -(2**31), 2**31 - 1).astype(np.int32), S)
+    return nl.sigmoid(np.clip(tele, -(2**31), 2**31 - 1).astype(np.int32), S)
+
+
+def _teleport_rem_chunks(op) -> tuple[int, int]:
+    """(num chunks, partial-top bits) for the remainder < tau = 2^(s-7)."""
+    nbits = max(op.scale - 7, 1)
+    C = max(1, (nbits + 3) // 4)
+    return C, nbits % 4
+
+
+def _u_claim_id(node_idx: int) -> OpeningId:
+    return OpeningId.virtual(VirtualPoly.make("TeleportQuotient", node_idx),
+                             SumcheckId.make("NodeExecution", node_idx))
+
+
+def _ra_claim_id(node_idx: int, ra_tag: str) -> OpeningId:
+    return OpeningId.virtual(VirtualPoly.make(ra_tag, node_idx),
+                             SumcheckId.make("Raf"))
+
+
+def _teleport_terms(g1: Fr, g2: Fr, g3: Fr, op):
+    C_rem, partial = _teleport_rem_chunks(op)
+    spec = {}
+    for d in range(4):
+        spec[f"uv{d}"] = (d, "identity")
+    spec["uhi3"] = (3, "msb")
+    terms = []
+    # g1 * u16recon
+    for d in range(4):
+        terms.append((g1 * Fr(1 << (4 * d)), [f"uv{d}"]))
+    # g2 * (tau*(u16recon - 2^16 uhi3) + remRecon)
+    for d in range(4):
+        terms.append((g2 * Fr(op.tau * (1 << (4 * d))), [f"uv{d}"]))
+    terms.append((Fr.zero() - g2 * Fr(op.tau * (1 << 16)), ["uhi3"]))
+    rspec = {}
+    for d in range(C_rem):
+        rspec[f"rv{d}"] = (d, "identity")
+        terms.append((g2 * Fr(1 << (4 * d)), [f"rv{d}"]))
+    if partial:
+        rspec["rltc"] = (C_rem - 1, ("ltc", 1 << partial))
+        terms.append((g3, ["rltc"]))
+    return terms, spec, rspec, bool(partial)
+
+
+def _prove_teleport_act(node, ctx, r, out_claim):
+    op = node.operator
+    fam_tag, ra_tag = _ACT_FAMILY[type(op)]
+    x = padded_flat(ctx.trace.node_outputs[node.inputs[0]]).astype(np.int64)
+    q = np.floor_divide(x, op.tau)
+    assert (np.abs(q) < (1 << 15)).all(), "teleport quotient exceeds i16"
+    u = np.mod(q, 1 << 16)
+    ga = ctx.transcript.challenge_scalar()
+    g1, g2, g3 = ctx.transcript.challenge_vector(3)
+    u_claim = MLPoly(ints=u).evaluate(list(r))
+    ctx.accumulator.append_virtual(ctx.transcript, _u_claim_id(node.idx),
+                                   list(r), u_claim)
+    x_claim = MLPoly(ints=x).evaluate(list(r))
+    ctx.accumulator.append_virtual(
+        ctx.transcript, input_opening_id(node.idx, 0, node.inputs[0]),
+        list(r), x_claim)
+
+    table = _teleport_table(op)
+    rr = onehot.ReadRafProver(_ra_claim_id(node.idx, ra_tag), table, u,
+                              ga, out_claim + ga * u_claim, list(r))
+    terms, spec, rspec, has_ltc = _teleport_terms(g1, g2, g3, op)
+    uchunks = ctx.chunks[(node.idx, fam_tag)]
+    rchunks = ctx.chunks[(node.idx, "TeleportRangeCheckRaD")]
+    polys, specs = build_derived_polys(node.idx, spec, uchunks)
+    rpolys, rspecs = build_derived_polys(node.idx, rspec, rchunks)
+    polys.update(rpolys)
+    specs.extend(rspecs)
+    cyc_claim = g1 * u_claim + g2 * x_claim + (g3 if has_ltc else Fr.zero())
+    cyc = CycleExecutionProver(polys, terms, list(r), cyc_claim, specs)
+    proof, r_batch = BatchedSumcheck.prove([rr, cyc], ctx.accumulator,
+                                           ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    r_sc = list(r_batch)[-len(r):] if r else []
+
+    # ra virtualization: ra claim at (r_k(16), r)
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_ra_claim_id(node.idx, ra_tag))
+    r_addr, r_cyc = ra_pt[:16], ra_pt[16:]
+    rv = onehot.RaVirtualizationProver(
+        lambda d: CommittedPoly.make(fam_tag, node.idx, d), 4, uchunks,
+        r_addr, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    vproof, _ = Sumcheck.prove(rv, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaVirtual")] = vproof
+
+    C_rem, _ = _teleport_rem_chunks(op)
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make(fam_tag, node.idx, d),
+                     4, uchunks), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("TeleportRangeCheckRaD",
+                                                  node.idx, d),
+                     C_rem, rchunks), rspec),
+    ]
+    ra_inst = build_ra_checks_provers(node.idx, fams, r_sc,
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_teleport_act(node, ctx, r, out_claim):
+    op = node.operator
+    fam_tag, ra_tag = _ACT_FAMILY[type(op)]
+    ga = ctx.transcript.challenge_scalar()
+    g1, g2, g3 = ctx.transcript.challenge_vector(3)
+    ctx.accumulator.append_virtual(ctx.transcript, _u_claim_id(node.idx), list(r))
+    u_claim = ctx.accumulator.get_opening(_u_claim_id(node.idx))[1]
+    oid_x = input_opening_id(node.idx, 0, node.inputs[0])
+    ctx.accumulator.append_virtual(ctx.transcript, oid_x, list(r))
+    x_claim = ctx.accumulator.get_opening(oid_x)[1]
+
+    table = _teleport_table(op)
+    rr = onehot.ReadRafVerifier(_ra_claim_id(node.idx, ra_tag), table, ga,
+                                out_claim + ga * u_claim, list(r))
+    terms, spec, rspec, has_ltc = _teleport_terms(g1, g2, g3, op)
+    _, specs = _derived_specs(node.idx, spec)
+    _, rspecs = _derived_specs(node.idx, rspec)
+    specs.extend(rspecs)
+    cyc_claim = g1 * u_claim + g2 * x_claim + (g3 if has_ltc else Fr.zero())
+    cyc = CycleExecutionVerifier(terms, list(r), cyc_claim, specs)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "Execution")], [rr, cyc],
+                           ctx.accumulator, ctx.transcript)
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_ra_claim_id(node.idx, ra_tag))
+    r_addr, r_cyc = ra_pt[:16], ra_pt[16:]
+    rv = onehot.RaVirtualizationVerifier(
+        lambda d: CommittedPoly.make(fam_tag, node.idx, d), 4,
+        r_addr, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    Sumcheck.verify(ctx.proofs[(node.idx, "RaVirtual")], rv,
+                    ctx.accumulator, ctx.transcript)
+    C_rem, _ = _teleport_rem_chunks(op)
+    # r_sc = tail of the Execution batch challenges = cycle point of cyc
+    # (recover from any derived-claim opening point)
+    any_name = sorted(spec)[0]
+    r_sc = ctx.accumulator.get_opening(
+        FW.derived_claim_id(node.idx, any_name))[0]
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make(fam_tag, node.idx, d),
+                     4, None), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("TeleportRangeCheckRaD",
+                                                  node.idx, d),
+                     C_rem, None), rspec),
+    ]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
+# ---------------------------------------------------------------------------
+# Sin / Cos: periodicity teleport (x mod 4*pi approx), lookup of the
+# remainder in a 4096-entry trig table (reference neural_teleport/{sin,cos}.rs)
+# ---------------------------------------------------------------------------
+
+_TRIG_FAMILY = {FOPS.Sin: ("SinRaD", "SinRa"), FOPS.Cos: ("CosRaD", "CosRa")}
+_TRIG_K = 4096  # padded table for remainders mod FOUR_PI_APPROX = 3217
+
+
+def _trig_table(op) -> np.ndarray:
+    from ..frontend import nonlinearities as nl
+    from ..frontend.quantize import scale_to_multiplier
+    S = scale_to_multiplier(op.scale)
+    i = np.arange(_TRIG_K, dtype=np.int32)
+    return nl.sin(i, S) if isinstance(op, FOPS.Sin) else nl.cos(i, S)
+
+
+def _trig_terms(g1: Fr, g2: Fr, g3: Fr):
+    spec = {}
+    terms = []
+    for d in range(3):
+        spec[f"rv{d}"] = (d, "identity")
+        terms.append(((g1 + g2) * Fr(1 << (4 * d)), [f"rv{d}"]))
+    terms.append((g2 * Fr(FOPS.FOUR_PI_APPROX), ["q"]))
+    lt_terms, lt_spec = FW.lt_const_terms(3, "L", FOPS.FOUR_PI_APPROX)
+    spec.update(lt_spec)
+    for coeff, factors in lt_terms:
+        terms.append((g3 * coeff, factors))
+    return terms, spec
+
+
+def _prove_trig(node, ctx, r, out_claim):
+    op = node.operator
+    fam_tag, ra_tag = _TRIG_FAMILY[type(op)]
+    x = padded_flat(ctx.trace.node_outputs[node.inputs[0]]).astype(np.int64)
+    rem = np.mod(x, FOPS.FOUR_PI_APPROX)
+    q = (x - rem) // FOPS.FOUR_PI_APPROX
+    ga = ctx.transcript.challenge_scalar()
+    g1, g2, g3 = ctx.transcript.challenge_vector(3)
+    u_claim = MLPoly(ints=rem).evaluate(list(r))
+    ctx.accumulator.append_virtual(ctx.transcript, _u_claim_id(node.idx),
+                                   list(r), u_claim)
+    x_claim = MLPoly(ints=x).evaluate(list(r))
+    ctx.accumulator.append_virtual(
+        ctx.transcript, input_opening_id(node.idx, 0, node.inputs[0]),
+        list(r), x_claim)
+    table = _trig_table(op)
+    rr = onehot.ReadRafProver(_ra_claim_id(node.idx, ra_tag), table, rem,
+                              ga, out_claim + ga * u_claim, list(r))
+    terms, spec = _trig_terms(g1, g2, g3)
+    rchunks = ctx.chunks[(node.idx, fam_tag)]
+    polys, specs = build_derived_polys(node.idx, spec, rchunks)
+    polys["q"] = MLPoly(ints=q)
+    specs.append(("q", OpeningId.committed(
+        CommittedPoly.make("TeleportNodeQuotient", node.idx),
+        SumcheckId.make("NodeExecution", node.idx))))
+    cyc_claim = g1 * u_claim + g2 * x_claim + g3
+    cyc = CycleExecutionProver(polys, terms, list(r), cyc_claim, specs)
+    proof, r_batch = BatchedSumcheck.prove([rr, cyc], ctx.accumulator,
+                                           ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    r_sc = list(r_batch)[-len(r):] if r else []
+
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_ra_claim_id(node.idx, ra_tag))
+    r_addr, r_cyc = ra_pt[:12], ra_pt[12:]
+    rv = onehot.RaVirtualizationProver(
+        lambda d: CommittedPoly.make(fam_tag, node.idx, d), 3, rchunks,
+        r_addr, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    vproof, _ = Sumcheck.prove(rv, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaVirtual")] = vproof
+
+    fams = [(ChunkFamily(lambda d: CommittedPoly.make(fam_tag, node.idx, d),
+                         3, rchunks), spec)]
+    ra_inst = build_ra_checks_provers(node.idx, fams, r_sc,
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_trig(node, ctx, r, out_claim):
+    op = node.operator
+    fam_tag, ra_tag = _TRIG_FAMILY[type(op)]
+    ga = ctx.transcript.challenge_scalar()
+    g1, g2, g3 = ctx.transcript.challenge_vector(3)
+    ctx.accumulator.append_virtual(ctx.transcript, _u_claim_id(node.idx), list(r))
+    u_claim = ctx.accumulator.get_opening(_u_claim_id(node.idx))[1]
+    oid_x = input_opening_id(node.idx, 0, node.inputs[0])
+    ctx.accumulator.append_virtual(ctx.transcript, oid_x, list(r))
+    x_claim = ctx.accumulator.get_opening(oid_x)[1]
+    table = _trig_table(op)
+    rr = onehot.ReadRafVerifier(_ra_claim_id(node.idx, ra_tag), table, ga,
+                                out_claim + ga * u_claim, list(r))
+    terms, spec = _trig_terms(g1, g2, g3)
+    _, specs = _derived_specs(node.idx, spec)
+    specs.append(("q", OpeningId.committed(
+        CommittedPoly.make("TeleportNodeQuotient", node.idx),
+        SumcheckId.make("NodeExecution", node.idx))))
+    cyc_claim = g1 * u_claim + g2 * x_claim + g3
+    cyc = CycleExecutionVerifier(terms, list(r), cyc_claim, specs)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "Execution")], [rr, cyc],
+                           ctx.accumulator, ctx.transcript)
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_ra_claim_id(node.idx, ra_tag))
+    r_addr, r_cyc = ra_pt[:12], ra_pt[12:]
+    rv = onehot.RaVirtualizationVerifier(
+        lambda d: CommittedPoly.make(fam_tag, node.idx, d), 3,
+        r_addr, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    Sumcheck.verify(ctx.proofs[(node.idx, "RaVirtual")], rv,
+                    ctx.accumulator, ctx.transcript)
+    any_name = sorted(spec)[0]
+    r_sc = ctx.accumulator.get_opening(
+        FW.derived_claim_id(node.idx, any_name))[0]
+    fams = [(ChunkFamily(lambda d: CommittedPoly.make(fam_tag, node.idx, d),
+                         3, None), spec)]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
+_register([FOPS.Tanh, FOPS.Erf, FOPS.Sigmoid],
+          _prove_teleport_act, _verify_teleport_act)
+_register([FOPS.Sin, FOPS.Cos], _prove_trig, _verify_trig)
+
+
+# ---------------------------------------------------------------------------
+# MeanOfSquares (fused sum-of-squares + divide by N*2^S; reference
+# ops/mean_of_squares.rs) and Cube
+# ---------------------------------------------------------------------------
+
+class MoSAxisContractionProver(SumcheckInstanceProver):
+    """acc(r') = sum_{full input domain} W(j) * x(j)^2, where W is the eq
+    weight over the kept axes broadcast along the summed axes (kept axes
+    must stay inside the nonlinear sum)."""
+
+    def __init__(self, node, W: MLPoly, x: MLPoly, claim: Fr, in_axes_info,
+                 producer):
+        self.node = node
+        self.W = W
+        self.x = x
+        self.claim = claim
+        self.in_axes_info = in_axes_info
+        self.producer = producer
+
+    def num_rounds(self):
+        return self.x.num_vars
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
+        ex = self.x.sumcheck_evals(3, BindingOrder.HighToLow)
+        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ex[t], ex[t])))
+               for t in range(3)]
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        self.W.bind(r, BindingOrder.HighToLow)
+        self.x.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.producer),
+            list(r), self.x.final_claim())
+
+
+class MoSAxisContractionVerifier(SumcheckInstanceVerifier):
+    def __init__(self, node, rounds, claim, in_axes_info, producer):
+        self.node = node
+        self._rounds = rounds
+        self.claim = claim
+        self.in_axes_info = in_axes_info
+        self.producer = producer
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.producer),
+            list(r))
+
+    def expected_output_claim(self, accumulator, r):
+        from ..poly.eq import eq_eval_scalar
+        c = accumulator.get_opening(
+            input_opening_id(self.node.idx, 0, self.producer))[1]
+        # W MLE at r = prod over kept axes eq(r_group, r_slice)
+        w = Fr.one()
+        i = 0
+        for is_summed, payload in self.in_axes_info:
+            if is_summed:
+                i += payload
+            else:
+                nv = len(payload)
+                w = w * eq_eval_scalar(payload, list(r)[i:i + nv])
+                i += nv
+        return w * c * c
+
+
+def _mos_rem_chunks(op) -> int:
+    bits = (op.divisor() - 1).bit_length()
+    return max(1, (bits + 3) // 4)
+
+
+def _mos_terms(g1: Fr, g2: Fr, op):
+    C = MUL_SAT_CHUNKS
+    D = op.divisor()
+    terms, spec = sat_clamp_terms(C, "c")
+    C_rem = _mos_rem_chunks(op)
+    rspec = {}
+    # g1 * (acc - q_recon*D - rem_recon)
+    terms.append((g1, ["acc"]))
+    for coeff, factors in recon_terms(C, "c", scale=D):
+        terms.append((Fr.zero() - g1 * coeff, factors))
+    for d in range(C_rem):
+        rspec[f"rv{d}"] = (d, "identity")
+        terms.append((Fr.zero() - g1 * Fr(1 << (4 * d)), [f"rv{d}"]))
+    # g2 * (LT(rem, D) - 1)
+    lt_terms, lt_spec = FW.lt_const_terms(C_rem, "L", D)
+    rspec.update(lt_spec)
+    for coeff, factors in lt_terms:
+        terms.append((g2 * coeff, factors))
+    terms.append((Fr.zero() - g2, []))
+    return terms, spec, rspec
+
+
+def _prove_mos(node, ctx, r, out_claim):
+    op = node.operator
+    g1, g2 = ctx.transcript.challenge_vector(2)
+    terms, spec, rspec = _mos_terms(g1, g2, op)
+    qchunks = ctx.chunks[(node.idx, "ClampRaD")]
+    rchunks = ctx.chunks[(node.idx, "MeanOfSquaresRangeCheckRaD")]
+    polys, specs = build_derived_polys(node.idx, spec, qchunks)
+    rpolys, rspecs = build_derived_polys(node.idx, rspec, rchunks)
+    polys.update(rpolys)
+    specs.extend(rspecs)
+    x = ctx.trace.node_outputs[node.inputs[0]]
+    acc = padded_flat(op.acc_i64(x))
+    polys["acc"] = MLPoly(ints=acc)
+    specs.append(("acc", acc_opening_id(node.idx)))
+    inst = CycleExecutionProver(polys, terms, r, out_claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                     MUL_SAT_CHUNKS, qchunks), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("MeanOfSquaresRangeCheckRaD",
+                                                  node.idx, d),
+                     _mos_rem_chunks(op), rchunks), rspec),
+    ]
+    ra_inst = build_ra_checks_provers(node.idx, fams, list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+    # acc(r_sc) = sum of squares over axes
+    op_axes = FOPS.Sum(axes=op.axes)
+    node_like = node
+    info, rounds, _ = _sum_axes_setup_generic(node, ctx, r_sc, op.axes)
+    acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
+    # W = eq over kept axes, ones over summed axes, in input axis order
+    w_axes = []
+    for is_summed, payload in info:
+        if is_summed:
+            w_axes.append(np.ones(1 << payload, dtype=object))
+        else:
+            w_axes.append(eq_evals(payload))
+    W = w_axes[0]
+    for ax_v in w_axes[1:]:
+        W = np.multiply.outer(W, ax_v) % vec.R
+    cinst = MoSAxisContractionProver(
+        node, MLPoly(fvec=W.reshape(-1)),
+        MLPoly(ints=padded_flat(x).astype(np.int64)), acc_claim, info,
+        node.inputs[0])
+    cproof, _ = Sumcheck.prove(cinst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "SumReduction")] = cproof
+
+
+def _sum_axes_setup_generic(node, ctx, r_sc, axes):
+    in_dims = tuple(ctx.node(node.inputs[0]).output_dims)
+    out_groups = split_point(list(r_sc), axis_var_groups(tuple(node.output_dims)))
+    info = []
+    for ax, d in enumerate(in_dims):
+        if ax in axes:
+            info.append((True, d.bit_length() - 1))
+        else:
+            info.append((False, out_groups[ax]))
+    rounds = sum(p for s_, p in info if s_)
+    return info, rounds, out_groups
+
+
+def _verify_mos(node, ctx, r, out_claim):
+    op = node.operator
+    g1, g2 = ctx.transcript.challenge_vector(2)
+    terms, spec, rspec = _mos_terms(g1, g2, op)
+    _, specs = _derived_specs(node.idx, spec)
+    _, rspecs = _derived_specs(node.idx, rspec)
+    specs.extend(rspecs)
+    specs.append(("acc", acc_opening_id(node.idx)))
+    inst = CycleExecutionVerifier(terms, r, out_claim, specs)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                     MUL_SAT_CHUNKS, None), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("MeanOfSquaresRangeCheckRaD",
+                                                  node.idx, d),
+                     _mos_rem_chunks(op), None), rspec),
+    ]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+    info, rounds, _ = _sum_axes_setup_generic(node, ctx, r_sc, node.operator.axes)
+    acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
+    full_rounds = ctx.padded_len(node.inputs[0]).bit_length() - 1
+    cinst = MoSAxisContractionVerifier(node, full_rounds, acc_claim, info,
+                                       node.inputs[0])
+    Sumcheck.verify(ctx.proofs[(node.idx, "SumReduction")], cinst,
+                    ctx.accumulator, ctx.transcript)
+
+
+def _cube_terms(gamma: Fr, scale: int):
+    C = MUL_SAT_CHUNKS
+    bits = 2 * scale
+    terms, spec = sat_clamp_terms(C, "c")
+    rspec = {}
+    for d in range(bits // 4):
+        rspec[f"rv{d}"] = (d, "identity")
+    terms.append((gamma, ["a", "a", "a"]))
+    for coeff, factors in recon_terms(C, "c", scale=1 << bits):
+        terms.append((Fr.zero() - gamma * coeff, factors))
+    for coeff, factors in unsigned_recon_terms(bits // 4, "r"):
+        terms.append((Fr.zero() - gamma * coeff, factors))
+    return terms, spec, rspec
+
+
+def _prove_cube(node, ctx, r, out_claim):
+    op = node.operator
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec, rspec = _cube_terms(gamma, op.scale)
+    qchunks = ctx.chunks[(node.idx, "ClampRaD")]
+    rchunks = ctx.chunks[(node.idx, "RescaleRemainderRaD")]
+    polys, specs = build_derived_polys(node.idx, spec, qchunks)
+    rpolys, rspecs = build_derived_polys(node.idx, rspec, rchunks)
+    polys.update(rpolys)
+    specs.extend(rspecs)
+    a = padded_flat(ctx.trace.node_outputs[node.inputs[0]])
+    polys["a"] = MLPoly(ints=a.astype(np.int64))
+    specs.append(("a", input_opening_id(node.idx, 0, node.inputs[0])))
+    inst = CycleExecutionProver(polys, terms, r, out_claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                     MUL_SAT_CHUNKS, qchunks), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("RescaleRemainderRaD",
+                                                  node.idx, d),
+                     (2 * op.scale) // 4, rchunks), rspec),
+    ]
+    ra_inst = build_ra_checks_provers(node.idx, fams, list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_cube(node, ctx, r, out_claim):
+    op = node.operator
+    gamma = ctx.transcript.challenge_scalar()
+    terms, spec, rspec = _cube_terms(gamma, op.scale)
+    _, specs = _derived_specs(node.idx, spec)
+    _, rspecs = _derived_specs(node.idx, rspec)
+    specs.extend(rspecs)
+    specs.append(("a", input_opening_id(node.idx, 0, node.inputs[0])))
+    inst = CycleExecutionVerifier(terms, r, out_claim, specs)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampRaD", node.idx, d),
+                     MUL_SAT_CHUNKS, None), spec),
+        (ChunkFamily(lambda d: CommittedPoly.make("RescaleRemainderRaD",
+                                                  node.idx, d),
+                     (2 * op.scale) // 4, None), rspec),
+    ]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
+_register([FOPS.MeanOfSquares], _prove_mos, _verify_mos)
+_register([FOPS.Cube], _prove_cube, _verify_cube)

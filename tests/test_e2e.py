@@ -246,3 +246,50 @@ class TestE2ENewOps:
         qv = quantize_tensor(rng.normal(size=(2, 2, 4, 8)) * 0.3, s)
         kv = quantize_tensor(rng.normal(size=(2, 2, 4, 8)) * 0.3, s)
         prove_and_verify(b.build(), [qv, kv])
+
+
+class TestE2EActivations:
+    def test_tanh(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8])
+        y = b.tanh(x)
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8) * 2, s)])
+
+    def test_sigmoid_erf(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8])
+        y = b.sigmoid(x)
+        z = b.erf(y)
+        b.output(z)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8) * 2, s)])
+
+    def test_sin_cos(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8])
+        y = b.sin(x)
+        z = b.cos(x)
+        out = b.add(y, z)
+        b.output(out)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8) * 3, s)])
+
+
+class TestE2ELayerNormPieces:
+    def test_mean_of_squares(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([2, 8])
+        m = b.mean_of_squares(x, [1])
+        b.output(m)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(2, 8)), s)])
+
+    def test_cube(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8])
+        y = b.cube(x)
+        b.output(y)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8), s)])
