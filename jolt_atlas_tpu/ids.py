@@ -38,6 +38,8 @@ _COMMITTED_TAGS = [
     "SoftmaxSatDiffRaD",        # (node, d)
     "ClampRaD",                 # (node, d)
     "RescaleRemainderRaD",      # (node, d)
+    # --- extensions beyond the reference enum (this implementation) ---
+    "SoftmaxExpQDense",         # (node,) dense committed exp_q advice
 ]
 
 _VIRTUAL_TAGS = [

@@ -25,6 +25,8 @@ class ONNXProof:
     reduced_claims: list         # [Fr] per reduction instance (sorted order)
     batch_opening_proof: SumcheckInstanceProof
     joint_opening_proof: HyperKZGProof
+    aux: dict = field(default_factory=dict)  # (node_idx, name) -> np arrays
+                                 # (softmax per-slice advice, reference #218)
 
     def size_estimate(self) -> int:
         """Rough serialized size in bytes."""

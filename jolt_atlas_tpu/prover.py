@@ -42,6 +42,7 @@ class ProverContext:
         self.eval_reduction_proofs = {}
         self.chunks = {}
         self.reduced = {}
+        self.aux = {}
 
     def node(self, idx):
         return self.model.graph.nodes[idx]
@@ -143,6 +144,7 @@ class AtlasProver:
             reduced_claims=reduced_claims,
             batch_opening_proof=bo_proof,
             joint_opening_proof=hk_proof,
+            aux=ctx.aux,
         )
         io = (padded_inputs, padded_outputs)
         return proof, io

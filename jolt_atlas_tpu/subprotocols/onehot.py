@@ -474,3 +474,181 @@ class RaVirtualizationVerifier(SumcheckInstanceVerifier):
             acc = acc * accumulator.claim_of(
                 OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id))
         return acc
+
+
+# ---------------------------------------------------------------------------
+# Pairwise chunk-indicator checks for variable-vs-variable comparisons
+# (the chunked analogue of the reference's binary prefix-suffix shout,
+# ps_shout/binary.rs: "R < divisor" checks with interleaved operands).
+#
+#   EqPair:  claim = sum_{k,j}    eq(r',j) * ra_a(k,j) * ra_b(k,j)
+#   LtPair:  claim = sum_{k,k',j} LT16(k,k') * eq(r',j) * ra_a(k,j) * ra_b(k',j)
+#
+# verifying the materialized indicator polys [a_d == b_d], [a_d < b_d].
+# ---------------------------------------------------------------------------
+
+LT16 = (np.arange(K_CHUNK)[:, None] < np.arange(K_CHUNK)[None, :]).astype(np.int64)
+
+
+class EqPairCheckProver(SumcheckInstanceProver):
+    def __init__(self, pid_a: CommittedPoly, pid_b: CommittedPoly,
+                 sid: SumcheckId, chunks_a, chunks_b, r_cycle, claim: Fr):
+        T = len(chunks_a)
+        self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
+        self.claim = claim
+        eqj = eq_evals(r_cycle)
+        self.W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
+        self.ra = one_hot_poly(chunks_a)
+        self.rb = one_hot_poly(chunks_b)
+        self.r_cycle = r_cycle
+        self._rounds = self.ra.num_vars
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
+        ea = self.ra.sumcheck_evals(3, BindingOrder.HighToLow)
+        eb = self.rb.sumcheck_evals(3, BindingOrder.HighToLow)
+        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ea[t], eb[t])))
+               for t in range(3)]
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        for p in (self.W, self.ra, self.rb):
+            p.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_a, self.sid), list(r),
+            self.ra.final_claim())
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_b, self.sid), list(r),
+            self.rb.final_claim())
+
+
+class EqPairCheckVerifier(SumcheckInstanceVerifier):
+    def __init__(self, pid_a, pid_b, sid, log_t: int, r_cycle, claim: Fr):
+        self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
+        self.log_t = log_t
+        self.r_cycle = r_cycle
+        self.claim = claim
+
+    def num_rounds(self):
+        return LOG_K_CHUNK + self.log_t
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_a, self.sid), list(r))
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_b, self.sid), list(r))
+
+    def expected_output_claim(self, accumulator, r):
+        a = accumulator.claim_of(OpeningId.committed(self.pid_a, self.sid))
+        b = accumulator.claim_of(OpeningId.committed(self.pid_b, self.sid))
+        eqv = eq_eval_scalar(self.r_cycle, list(r)[LOG_K_CHUNK:])
+        return eqv * a * b
+
+
+class LtPairCheckProver(SumcheckInstanceProver):
+    def __init__(self, pid_a: CommittedPoly, pid_b: CommittedPoly,
+                 sid: SumcheckId, chunks_a, chunks_b, r_cycle, claim: Fr):
+        T = len(chunks_a)
+        self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
+        self.claim = claim
+        self.r_cycle = r_cycle
+        eqj = np.asarray(eq_evals(r_cycle))
+        # W(k, k', j) = LT16[k, k'] * eq(j); domain (k, k', j) flattened
+        W = (LT16[:, :, None] * eqj[None, None, :]) % vec.R
+        self.W = MLPoly(fvec=W.reshape(-1).astype(object))
+        # lifted one-hots: A(k,k',j) = ra_a(k,j); B(k,k',j) = ra_b(k',j)
+        oa = np.zeros((K_CHUNK, T), dtype=np.int64)
+        oa[chunks_a, np.arange(T)] = 1
+        ob = np.zeros((K_CHUNK, T), dtype=np.int64)
+        ob[chunks_b, np.arange(T)] = 1
+        A = np.broadcast_to(oa[:, None, :], (K_CHUNK, K_CHUNK, T))
+        B = np.broadcast_to(ob[None, :, :], (K_CHUNK, K_CHUNK, T))
+        self.ra = MLPoly(ints=np.ascontiguousarray(A).reshape(-1))
+        self.rb = MLPoly(ints=np.ascontiguousarray(B).reshape(-1))
+        self._rounds = self.ra.num_vars
+
+    def num_rounds(self):
+        return self._rounds
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def compute_message(self, round, previous_claim):
+        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
+        ea = self.ra.sumcheck_evals(3, BindingOrder.HighToLow)
+        eb = self.rb.sumcheck_evals(3, BindingOrder.HighToLow)
+        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ea[t], eb[t])))
+               for t in range(3)]
+        return UniPoly.from_evals_and_hint(previous_claim, pts)
+
+    def ingest_challenge(self, r, round):
+        for p in (self.W, self.ra, self.rb):
+            p.bind(r, BindingOrder.HighToLow)
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_k = list(r)[:LOG_K_CHUNK]
+        r_k2 = list(r)[LOG_K_CHUNK:2 * LOG_K_CHUNK]
+        r_j = list(r)[2 * LOG_K_CHUNK:]
+        # lifted polys are constant along the other index, so their fully
+        # bound values ARE ra_a(r_k, r_j) / ra_b(r_k2, r_j)
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_a, self.sid),
+            r_k + r_j, self.ra.final_claim())
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_b, self.sid),
+            r_k2 + r_j, self.rb.final_claim())
+
+
+class LtPairCheckVerifier(SumcheckInstanceVerifier):
+    def __init__(self, pid_a, pid_b, sid, log_t: int, r_cycle, claim: Fr):
+        self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
+        self.log_t = log_t
+        self.r_cycle = r_cycle
+        self.claim = claim
+
+    def num_rounds(self):
+        return 2 * LOG_K_CHUNK + self.log_t
+
+    def degree(self):
+        return 3
+
+    def input_claim(self, accumulator):
+        return self.claim
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_k = list(r)[:LOG_K_CHUNK]
+        r_k2 = list(r)[LOG_K_CHUNK:2 * LOG_K_CHUNK]
+        r_j = list(r)[2 * LOG_K_CHUNK:]
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_a, self.sid), r_k + r_j)
+        accumulator.append_committed(
+            transcript, OpeningId.committed(self.pid_b, self.sid), r_k2 + r_j)
+
+    def expected_output_claim(self, accumulator, r):
+        a = accumulator.claim_of(OpeningId.committed(self.pid_a, self.sid))
+        b = accumulator.claim_of(OpeningId.committed(self.pid_b, self.sid))
+        r_k = list(r)[:LOG_K_CHUNK]
+        r_k2 = list(r)[LOG_K_CHUNK:2 * LOG_K_CHUNK]
+        r_j = list(r)[2 * LOG_K_CHUNK:]
+        lt_eval = MLPoly(ints=LT16.reshape(-1)).evaluate(r_k + r_k2)
+        return lt_eval * eq_eval_scalar(self.r_cycle, r_j) * a * b

@@ -29,12 +29,13 @@ from .zkops.ops import VerificationError, padded_flat
 
 
 class VerifierContext:
-    def __init__(self, model, transcript, accumulator, proofs):
+    def __init__(self, model, transcript, accumulator, proofs, aux=None):
         self.model = model
         self.transcript = transcript
         self.accumulator = accumulator
         self.proofs = proofs
         self.reduced = {}
+        self.aux = aux or {}
 
     def node(self, idx):
         return self.model.graph.nodes[idx]
@@ -61,7 +62,8 @@ class AtlasVerifier:
         padded_inputs, padded_outputs = io
         transcript = Blake2bTranscript(b"ONNXProof")
         accumulator = VerifierOpeningAccumulator(proof.opening_claims)
-        ctx = VerifierContext(model, transcript, accumulator, proof.proofs)
+        ctx = VerifierContext(model, transcript, accumulator, proof.proofs,
+                              proof.aux)
 
         append_io_to_transcript(transcript, padded_inputs)
 

@@ -193,11 +193,13 @@ class CycleExecutionProver(SumcheckInstanceProver):
 
 class CycleExecutionVerifier(SumcheckInstanceVerifier):
     def __init__(self, terms, r: list[Fr], input_claim: Fr,
-                 opening_specs: list[tuple[str, OpeningId]]):
+                 opening_specs: list[tuple[str, OpeningId]],
+                 public_evals: dict | None = None):
         self.terms = terms
         self.r = r
         self.claim = input_claim
         self.opening_specs = opening_specs
+        self.public_evals = public_evals or {}
         self._deg = 1 + max(len(f) for _, f in terms)
 
     def num_rounds(self) -> int:
@@ -219,6 +221,8 @@ class CycleExecutionVerifier(SumcheckInstanceVerifier):
     def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
         claims = {name: accumulator.get_opening(oid)[1]
                   for name, oid in self.opening_specs}
+        for name, fn in self.public_evals.items():
+            claims[name] = fn(list(r))  # public polynomial: verifier evaluates
         acc = Fr.zero()
         for coeff, factors in self.terms:
             prod = coeff  # empty factor list = constant term

@@ -293,3 +293,42 @@ class TestE2ELayerNormPieces:
         y = b.cube(x)
         b.output(y)
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8), s)])
+
+
+class TestE2EDiv:
+    def test_div(self):
+        b = ModelBuilder()
+        x = b.input([8])
+        y = b.input([8])
+        z = b.div(x, y)
+        b.output(z)
+        xs = rng.integers(-200, 200, size=8).astype(np.int32)
+        ys = rng.integers(1, 50, size=8).astype(np.int32)
+        pp, proof, io = prove_and_verify(b.build(), [xs, ys])
+        assert (io[1][0] == np.floor_divide(xs, ys)).all()
+
+
+class TestE2ESoftmax:
+    def test_softmax(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([2, 8])
+        y = b.softmax_last_axis(x)
+        b.output(y)
+        pp, proof, io = prove_and_verify(
+            b.build(), [quantize_tensor(rng.normal(size=(2, 8)), s)])
+        sums = io[1][0].astype(np.float64).sum(axis=1) / 256
+        assert np.abs(sums - 1).max() < 0.05
+
+    def test_attention_block(self):
+        """scores -> softmax -> weighted values: the attention core."""
+        s = 8
+        b = ModelBuilder(scale=s)
+        q = b.input([4, 8])
+        kT = b.constant(quantize_tensor(rng.normal(size=(8, 4)) * 0.4, s))
+        scores = b.matmul(q, kT)
+        w = b.softmax_last_axis(scores)
+        v = b.constant(quantize_tensor(rng.normal(size=(4, 8)) * 0.4, s))
+        out = b.matmul(w, v)
+        b.output(out)
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(4, 8)), s)])
