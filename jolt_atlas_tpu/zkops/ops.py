@@ -178,6 +178,30 @@ def node_witness(node, model, trace):
         fam(fam_tag, rem.astype(np.uint64), 3)
         polys[CommittedPoly.make("TeleportNodeQuotient", node.idx)] = \
             MLPoly(ints=q)
+    elif isinstance(op, FOPS.Rsqrt):
+        import math
+        x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
+        S3 = np.int64(1 << (3 * op.scale))
+        pos = x > 0
+        Q = np.where(pos, S3 // np.maximum(x, 1), 0)
+        Y = np.where(pos, np.array([math.isqrt(int(q)) for q in Q],
+                                   dtype=np.int64), 0)
+        r1 = np.where(pos, S3 - Q * np.maximum(x, 1), 0)
+        r2 = np.where(pos, Q - Y * Y, 0)
+        B = np.where(pos, 2 * Y + 1, 1)
+        cvals = np.concatenate([
+            onehot.chunk_values(to_unsigned(x, 32), 8),
+            onehot.chunk_values(r1.astype(np.uint64), 8),
+            onehot.chunk_values(r2.astype(np.uint64), 5),
+            onehot.chunk_values(B.astype(np.uint64), 5)], axis=0)
+        chunks[(node.idx, "SqrtRangeCheckRaD")] = cvals
+        for d in range(_RSQ_NCHUNKS):
+            polys[CommittedPoly.make("SqrtRangeCheckRaD", node.idx, d)] = \
+                onehot.one_hot_poly(cvals[d])
+        polys[CommittedPoly.make("RsqrtQuotient", node.idx, 0)] = MLPoly(ints=Q)
+        polys[CommittedPoly.make("RsqrtQuotient", node.idx, 1)] = MLPoly(ints=Y)
+        polys[CommittedPoly.make("RsqrtQuotient", node.idx, 2)] = \
+            MLPoly(ints=pos.astype(np.int64))
     elif isinstance(op, FOPS.SoftmaxLastAxis):
         from ..frontend.softmax import softmax_last_axis_decomposed
         L = _softmax_layout(op.scale)
@@ -2651,3 +2675,206 @@ def _verify_softmax(node, ctx, r, out_claim):
 
 
 _register([FOPS.SoftmaxLastAxis], _prove_softmax, _verify_softmax)
+
+
+# ---------------------------------------------------------------------------
+# Rsqrt (reference ops/rsqrt.rs): committed quotient Q = floor(S^3/x) and
+# integer square root y with two variable-operand range checks, gated by a
+# committed x>0 indicator so nonpositive lanes output 0.
+# Chunk family layout (SqrtRangeCheckRaD): x: d 0..8, r1: 8..16,
+# r2: 16..21, B=2y+1: 21..26.
+# ---------------------------------------------------------------------------
+
+_RSQ_X0, _RSQ_R1, _RSQ_R2, _RSQ_B = 0, 8, 16, 21
+_RSQ_NCHUNKS = 26
+
+
+def _rsqrt_dense_id(node_idx, which, tag):
+    return OpeningId.committed(
+        CommittedPoly.make("RsqrtQuotient", node_idx, which),
+        SumcheckId.make("NodeExecution", node_idx, tag))
+
+
+def _rsqrt_terms(g: list[Fr], scale_pow: int):
+    S3 = 1 << (3 * scale_pow)
+    spec = {}
+    for d in range(8):
+        spec[f"xv{d}"] = (_RSQ_X0 + d, "identity")
+        spec[f"xz{d}"] = (_RSQ_X0 + d, "eq0")
+    spec["xhi7"] = (_RSQ_X0 + 7, "msb")
+    for d in range(8):
+        spec[f"r1v{d}"] = (_RSQ_R1 + d, "identity")
+    for d in range(5):
+        spec[f"r2v{d}"] = (_RSQ_R2 + d, "identity")
+        spec[f"Bv{d}"] = (_RSQ_B + d, "identity")
+
+    one = Fr.one()
+    terms = [(one, ["P", "Y"])]  # out = P * Y
+    # g0: x - x_recon (signed, 8 chunks)
+    terms.append((g[0], ["x"]))
+    for d in range(8):
+        terms.append((Fr.zero() - g[0] * Fr(1 << (4 * d)), [f"xv{d}"]))
+    terms.append((g[0] * Fr(1 << 32), ["xhi7"]))
+    # g1: P^2 - P
+    terms.append((g[1], ["P", "P"]))
+    terms.append((Fr.zero() - g[1], ["P"]))
+    # g2: P * xhi7
+    terms.append((g[2], ["P", "xhi7"]))
+    # g3: P * prod xz_d
+    terms.append((g[3], ["P"] + [f"xz{d}" for d in range(8)]))
+    # g4: (1-P)(1-xhi7)(1 - prod xz) = 0  (P=0 implies NOT x>0)
+    zx = [f"xz{d}" for d in range(8)]
+    terms.append((g[4], []))
+    terms.append((Fr.zero() - g[4], ["P"]))
+    terms.append((Fr.zero() - g[4], ["xhi7"]))
+    terms.append((g[4], ["P", "xhi7"]))
+    terms.append((Fr.zero() - g[4], zx))
+    terms.append((g[4], ["P"] + zx))
+    terms.append((g[4], ["xhi7"] + zx))
+    terms.append((Fr.zero() - g[4], ["P", "xhi7"] + zx))
+    # g5: P*(S^3 - Q*x - r1_recon)
+    terms.append((g[5] * Fr(S3), ["P"]))
+    terms.append((Fr.zero() - g[5], ["P", "Q", "x"]))
+    for d in range(8):
+        terms.append((Fr.zero() - g[5] * Fr(1 << (4 * d)), ["P", f"r1v{d}"]))
+    # g6: P*(Q - Y^2 - r2_recon)
+    terms.append((g[6], ["P", "Q"]))
+    terms.append((Fr.zero() - g[6], ["P", "Y", "Y"]))
+    for d in range(5):
+        terms.append((Fr.zero() - g[6] * Fr(1 << (4 * d)), ["P", f"r2v{d}"]))
+    # g7: P*(2Y + 1 - B_recon)
+    terms.append((g[7] * Fr(2), ["P", "Y"]))
+    terms.append((g[7], ["P"]))
+    for d in range(5):
+        terms.append((Fr.zero() - g[7] * Fr(1 << (4 * d)), ["P", f"Bv{d}"]))
+    # g8: P*(LT(r1, x) - 1); g9: P*(LT(r2, B) - 1)
+    for d in range(8):
+        factors = ["P"] + [f"e1_{l}" for l in range(d + 1, 8)] + [f"l1_{d}"]
+        terms.append((g[8], factors))
+    terms.append((Fr.zero() - g[8], ["P"]))
+    for d in range(5):
+        factors = ["P"] + [f"e2_{l}" for l in range(d + 1, 5)] + [f"l2_{d}"]
+        terms.append((g[9], factors))
+    terms.append((Fr.zero() - g[9], ["P"]))
+    return terms, spec
+
+
+def _prove_rsqrt(node, ctx, r, out_claim):
+    op = node.operator
+    g = ctx.transcript.challenge_vector(10)
+    x = padded_flat(ctx.trace.node_outputs[node.inputs[0]]).astype(np.int64)
+    S3 = np.int64(1 << (3 * op.scale))
+    pos = x > 0
+    Q = np.where(pos, S3 // np.maximum(x, 1), 0)
+    Y = np.where(pos, np.array([math_isqrt(int(q)) for q in Q], dtype=np.int64), 0)
+    r1 = np.where(pos, S3 - Q * np.maximum(x, 1), 0)
+    r2 = np.where(pos, Q - Y * Y, 0)
+    B = np.where(pos, 2 * Y + 1, 1)
+    chunks = ctx.chunks[(node.idx, "SqrtRangeCheckRaD")]
+
+    terms, spec = _rsqrt_terms(g, op.scale)
+    polys, specs = build_derived_polys(node.idx, spec, chunks)
+    polys["x"] = MLPoly(ints=x)
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    polys["Q"] = MLPoly(ints=Q)
+    specs.append(("Q", _rsqrt_dense_id(node.idx, 0, "rsc")))
+    polys["Y"] = MLPoly(ints=Y)
+    specs.append(("Y", _rsqrt_dense_id(node.idx, 1, "rsc")))
+    polys["P"] = MLPoly(ints=pos.astype(np.int64))
+    specs.append(("P", _rsqrt_dense_id(node.idx, 2, "rsc")))
+    r1c, xc = chunks[_RSQ_R1:_RSQ_R1 + 8], chunks[_RSQ_X0:_RSQ_X0 + 8]
+    r2c, Bc = chunks[_RSQ_R2:_RSQ_R2 + 5], chunks[_RSQ_B:_RSQ_B + 5]
+    for d in range(8):
+        polys[f"e1_{d}"] = MLPoly(ints=(r1c[d] == xc[d]).astype(np.int64))
+        polys[f"l1_{d}"] = MLPoly(ints=(r1c[d] < xc[d]).astype(np.int64))
+        specs.append((f"e1_{d}", FW.derived_claim_id(node.idx, f"e1_{d}")))
+        specs.append((f"l1_{d}", FW.derived_claim_id(node.idx, f"l1_{d}")))
+    for d in range(5):
+        polys[f"e2_{d}"] = MLPoly(ints=(r2c[d] == Bc[d]).astype(np.int64))
+        polys[f"l2_{d}"] = MLPoly(ints=(r2c[d] < Bc[d]).astype(np.int64))
+        specs.append((f"e2_{d}", FW.derived_claim_id(node.idx, f"e2_{d}")))
+        specs.append((f"l2_{d}", FW.derived_claim_id(node.idx, f"l2_{d}")))
+    claim = out_claim  # every gated relation sums to zero
+    inst = CycleExecutionProver(polys, terms, list(r), claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+    fam = ChunkFamily(lambda d: CommittedPoly.make("SqrtRangeCheckRaD", node.idx, d),
+                      _RSQ_NCHUNKS, chunks)
+    ra_inst = build_ra_checks_provers(node.idx, [(fam, spec)], list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    for d in range(8):
+        ec = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"e1_{d}"))[1]
+        lc = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"l1_{d}"))[1]
+        pa = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_R1 + d)
+        pb = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_X0 + d)
+        ra_inst.append(onehot.EqPairCheckProver(
+            pa, pb, SumcheckId.make("Raf", "e1", d), r1c[d], xc[d],
+            list(r_sc), ec))
+        ra_inst.append(onehot.LtPairCheckProver(
+            pa, pb, SumcheckId.make("Raf", "l1", d), r1c[d], xc[d],
+            list(r_sc), lc))
+    for d in range(5):
+        ec = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"e2_{d}"))[1]
+        lc = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"l2_{d}"))[1]
+        pa = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_R2 + d)
+        pb = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_B + d)
+        ra_inst.append(onehot.EqPairCheckProver(
+            pa, pb, SumcheckId.make("Raf", "e2", d), r2c[d], Bc[d],
+            list(r_sc), ec))
+        ra_inst.append(onehot.LtPairCheckProver(
+            pa, pb, SumcheckId.make("Raf", "l2", d), r2c[d], Bc[d],
+            list(r_sc), lc))
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_rsqrt(node, ctx, r, out_claim):
+    op = node.operator
+    g = ctx.transcript.challenge_vector(10)
+    terms, spec = _rsqrt_terms(g, op.scale)
+    _, specs = _derived_specs(node.idx, spec)
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    specs.append(("Q", _rsqrt_dense_id(node.idx, 0, "rsc")))
+    specs.append(("Y", _rsqrt_dense_id(node.idx, 1, "rsc")))
+    specs.append(("P", _rsqrt_dense_id(node.idx, 2, "rsc")))
+    for d in range(8):
+        specs.append((f"e1_{d}", FW.derived_claim_id(node.idx, f"e1_{d}")))
+        specs.append((f"l1_{d}", FW.derived_claim_id(node.idx, f"l1_{d}")))
+    for d in range(5):
+        specs.append((f"e2_{d}", FW.derived_claim_id(node.idx, f"e2_{d}")))
+        specs.append((f"l2_{d}", FW.derived_claim_id(node.idx, f"l2_{d}")))
+    claim = out_claim
+    inst = CycleExecutionVerifier(terms, list(r), claim, specs)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fam = ChunkFamily(lambda d: CommittedPoly.make("SqrtRangeCheckRaD", node.idx, d),
+                      _RSQ_NCHUNKS, None)
+    ra_inst = build_ra_checks_verifiers(node.idx, [(fam, spec)], list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    log_t = len(r_sc)
+    for d in range(8):
+        ec = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"e1_{d}"))[1]
+        lc = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"l1_{d}"))[1]
+        pa = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_R1 + d)
+        pb = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_X0 + d)
+        ra_inst.append(onehot.EqPairCheckVerifier(
+            pa, pb, SumcheckId.make("Raf", "e1", d), log_t, list(r_sc), ec))
+        ra_inst.append(onehot.LtPairCheckVerifier(
+            pa, pb, SumcheckId.make("Raf", "l1", d), log_t, list(r_sc), lc))
+    for d in range(5):
+        ec = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"e2_{d}"))[1]
+        lc = ctx.accumulator.get_opening(FW.derived_claim_id(node.idx, f"l2_{d}"))[1]
+        pa = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_R2 + d)
+        pb = CommittedPoly.make("SqrtRangeCheckRaD", node.idx, _RSQ_B + d)
+        ra_inst.append(onehot.EqPairCheckVerifier(
+            pa, pb, SumcheckId.make("Raf", "e2", d), log_t, list(r_sc), ec))
+        ra_inst.append(onehot.LtPairCheckVerifier(
+            pa, pb, SumcheckId.make("Raf", "l2", d), log_t, list(r_sc), lc))
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
+from ..frontend.nonlinearities import math_isqrt  # noqa: E402
+
+_register([FOPS.Rsqrt], _prove_rsqrt, _verify_rsqrt)

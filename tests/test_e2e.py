@@ -332,3 +332,68 @@ class TestE2ESoftmax:
         out = b.matmul(w, v)
         b.output(out)
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(4, 8)), s)])
+
+
+class TestE2ERsqrt:
+    def test_rsqrt(self):
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8])
+        y = b.rsqrt(x)
+        b.output(y)
+        xs = quantize_tensor(np.array([4.0, 1.0, 0.25, 9.0, 2.0, 0.0, -1.0, 16.0]), s)
+        pp, proof, io = prove_and_verify(b.build(), [xs])
+        # x=0/negative lanes output 0 (note quantizer maps -1.0 -> -256)
+        assert io[1][0][5] == 0 and io[1][0][6] == 0
+
+    def test_layernorm(self):
+        """x / sqrt(mean(x^2)): MeanOfSquares -> Rsqrt -> Broadcast -> Mul."""
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([2, 8])
+        mos = b.mean_of_squares(x, [1])
+        rs = b.rsqrt(mos)
+        bc = b.broadcast(rs, [2, 8])
+        out = b.mul(x, bc)
+        b.output(out)
+        xq = quantize_tensor(rng.normal(size=(2, 8)) + 0.5, s)
+        prove_and_verify(b.build(), [xq])
+
+
+class TestE2ETransformer:
+    def test_mini_transformer_block(self):
+        """Embedding -> RMS-norm -> single-head attention -> FFN(tanh) ->
+        residual: a complete transformer block proven end to end."""
+        s = 8
+        D, T = 8, 4       # model dim, seq len
+        V = 16            # vocab
+        b = ModelBuilder(scale=s)
+        emb = b.constant(quantize_tensor(rng.normal(size=(V, D)) * 0.4, s))
+        tok = b.input([T])
+        x = b.gather(emb, tok)                       # (T, D)
+        # RMS norm
+        mos = b.mean_of_squares(x, [1])
+        rs = b.rsqrt(mos)
+        xn = b.mul(x, b.broadcast(rs, [T, D]))
+        # single-head self-attention
+        wq = b.constant(quantize_tensor(rng.normal(size=(D, D)) * 0.3, s))
+        wk = b.constant(quantize_tensor(rng.normal(size=(D, D)) * 0.3, s))
+        wv = b.constant(quantize_tensor(rng.normal(size=(D, D)) * 0.3, s))
+        q = b.matmul(xn, wq)
+        k = b.matmul(xn, wk)
+        v = b.matmul(xn, wv)
+        scores = b.einsum("mk,nk->mn", [q, k])
+        att = b.softmax_last_axis(scores)
+        ctxv = b.matmul(att, v)
+        res1 = b.add(x, ctxv)
+        # FFN
+        w1 = b.constant(quantize_tensor(rng.normal(size=(D, 2 * D)) * 0.3, s))
+        w2 = b.constant(quantize_tensor(rng.normal(size=(2 * D, D)) * 0.3, s))
+        h = b.tanh(b.matmul(res1, w1))
+        ffn = b.matmul(h, w2)
+        out = b.add(res1, ffn)
+        b.output(out)
+        model = b.build()
+        toks = np.array([3, 14, 7, 0], dtype=np.int32)
+        pp, proof, io = prove_and_verify(model, [toks])
+        assert proof.size_estimate() > 0
