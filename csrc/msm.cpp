@@ -1,0 +1,269 @@
+// Native BN254 G1 multi-scalar multiplication (Pippenger).
+//
+// The host-side native performance layer (reference: joltworks' arkworks MSM,
+// msm/mod.rs): 4x64-bit Montgomery arithmetic over Fq with __uint128_t
+// products, Jacobian point ops, dtype-aware Pippenger windows.
+// Exposed through a plain C ABI consumed via ctypes (no Python.h).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libmsm.so msm.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+struct Fp { u64 v[4]; };
+
+// BN254 base field modulus q and Montgomery constants (R = 2^256)
+static const Fp Q_MOD = {{0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                          0xb85045b68181585dULL, 0x30644e72e131a029ULL}};
+static const u64 Q_INV = 0x87d20782e4866389ULL;  // -q^{-1} mod 2^64
+static const Fp R1 = {{0xd35d438dc58f0d9dULL, 0x0a78eb28f5c70b3dULL,
+                       0x666ea36f7879462cULL, 0x0e0a77c19a07df2fULL}};
+static const Fp R2 = {{0xf32cfc5b538afa89ULL, 0xb5e71911d44501fbULL,
+                       0x47ab1eff0a417ff6ULL, 0x06d89f71cab8351fULL}};
+
+static inline bool ge(const Fp&a, const Fp&b){
+  for(int i=3;i>=0;i--){ if(a.v[i]!=b.v[i]) return a.v[i]>b.v[i]; }
+  return true;
+}
+static inline void sub_nored(Fp&r, const Fp&a, const Fp&b){
+  u128 borrow=0;
+  for(int i=0;i<4;i++){
+    u128 d=(u128)a.v[i]-b.v[i]-borrow;
+    r.v[i]=(u64)d; borrow=(d>>64)&1;
+  }
+}
+static inline void add_mod(Fp&r, const Fp&a, const Fp&b){
+  u128 carry=0;
+  for(int i=0;i<4;i++){
+    u128 s=(u128)a.v[i]+b.v[i]+carry;
+    r.v[i]=(u64)s; carry=s>>64;
+  }
+  if(carry||ge(r,Q_MOD)) sub_nored(r,r,Q_MOD);
+}
+static inline void sub_mod(Fp&r, const Fp&a, const Fp&b){
+  u128 borrow=0; Fp t;
+  for(int i=0;i<4;i++){
+    u128 d=(u128)a.v[i]-b.v[i]-borrow;
+    t.v[i]=(u64)d; borrow=(d>>64)&1;
+  }
+  if(borrow){ u128 c=0;
+    for(int i=0;i<4;i++){ u128 s=(u128)t.v[i]+Q_MOD.v[i]+c; t.v[i]=(u64)s; c=s>>64; }
+  }
+  r=t;
+}
+static inline void mont_mul(Fp&r, const Fp&a, const Fp&b){
+  u64 t[6]={0,0,0,0,0,0};
+  for(int i=0;i<4;i++){
+    u128 c=0;
+    for(int j=0;j<4;j++){
+      u128 s=(u128)a.v[i]*b.v[j]+t[j]+c;
+      t[j]=(u64)s; c=s>>64;
+    }
+    u128 s=(u128)t[4]+c; t[4]=(u64)s; t[5]=(u64)(s>>64);
+    u64 m=t[0]*Q_INV;
+    c=((u128)m*Q_MOD.v[0]+t[0])>>64;
+    for(int j=1;j<4;j++){
+      u128 s2=(u128)m*Q_MOD.v[j]+t[j]+c;
+      t[j-1]=(u64)s2; c=s2>>64;
+    }
+    s=(u128)t[4]+c; t[3]=(u64)s; t[4]=t[5]+(u64)(s>>64); t[5]=0;
+  }
+  Fp out={{t[0],t[1],t[2],t[3]}};
+  if(t[4]||ge(out,Q_MOD)) sub_nored(out,out,Q_MOD);
+  r=out;
+}
+static inline void mont_sqr(Fp&r, const Fp&a){ mont_mul(r,a,a); }
+static inline bool is_zero(const Fp&a){ return !(a.v[0]|a.v[1]|a.v[2]|a.v[3]); }
+static inline bool eq_fp(const Fp&a, const Fp&b){
+  return a.v[0]==b.v[0]&&a.v[1]==b.v[1]&&a.v[2]==b.v[2]&&a.v[3]==b.v[3];
+}
+
+struct Pt { Fp X,Y,Z; };  // Jacobian; Z=0 => infinity
+
+static inline void pt_set_inf(Pt&p){ memset(&p,0,sizeof(Pt)); }
+static inline bool pt_is_inf(const Pt&p){ return is_zero(p.Z); }
+
+static void pt_double(Pt&r, const Pt&p){
+  if(pt_is_inf(p)){ r=p; return; }
+  Fp A,B,C,D,E,F,t;
+  mont_sqr(A,p.X);
+  mont_sqr(B,p.Y);
+  mont_sqr(C,B);
+  add_mod(t,p.X,B); mont_sqr(t,t); sub_mod(t,t,A); sub_mod(t,t,C);
+  add_mod(D,t,t);
+  add_mod(E,A,A); add_mod(E,E,A);
+  mont_sqr(F,E);
+  Fp X3,Y3,Z3;
+  sub_mod(X3,F,D); sub_mod(X3,X3,D);
+  Fp C8; add_mod(C8,C,C); add_mod(C8,C8,C8); add_mod(C8,C8,C8);
+  sub_mod(t,D,X3); mont_mul(Y3,E,t); sub_mod(Y3,Y3,C8);
+  mont_mul(Z3,p.Y,p.Z); add_mod(Z3,Z3,Z3);
+  r.X=X3; r.Y=Y3; r.Z=Z3;
+}
+
+static void pt_add(Pt&r, const Pt&p, const Pt&q){
+  if(pt_is_inf(p)){ r=q; return; }
+  if(pt_is_inf(q)){ r=p; return; }
+  Fp Z1Z1,Z2Z2,U1,U2,S1,S2,H,Rr,t;
+  mont_sqr(Z1Z1,p.Z);
+  mont_sqr(Z2Z2,q.Z);
+  mont_mul(U1,p.X,Z2Z2);
+  mont_mul(U2,q.X,Z1Z1);
+  mont_mul(S1,p.Y,q.Z); mont_mul(S1,S1,Z2Z2);
+  mont_mul(S2,q.Y,p.Z); mont_mul(S2,S2,Z1Z1);
+  sub_mod(H,U2,U1);
+  sub_mod(Rr,S2,S1);
+  if(is_zero(H)){
+    if(is_zero(Rr)){ pt_double(r,p); return; }
+    pt_set_inf(r); return;
+  }
+  add_mod(Rr,Rr,Rr);
+  Fp I,J,V,HH;
+  add_mod(HH,H,H); mont_sqr(I,HH);
+  mont_mul(J,H,I);
+  mont_mul(V,U1,I);
+  Fp X3,Y3,Z3;
+  mont_sqr(X3,Rr); sub_mod(X3,X3,J);
+  add_mod(t,V,V); sub_mod(X3,X3,t);
+  sub_mod(t,V,X3); mont_mul(Y3,Rr,t);
+  Fp S1J; mont_mul(S1J,S1,J); add_mod(S1J,S1J,S1J);
+  sub_mod(Y3,Y3,S1J);
+  add_mod(Z3,p.Z,q.Z); mont_sqr(Z3,Z3);
+  sub_mod(Z3,Z3,Z1Z1); sub_mod(Z3,Z3,Z2Z2);
+  mont_mul(Z3,Z3,H);
+  r.X=X3; r.Y=Y3; r.Z=Z3;
+}
+
+// mixed add: q affine (Z==R1 implied)
+static void pt_add_affine(Pt&r, const Pt&p, const Fp&qx, const Fp&qy){
+  if(pt_is_inf(p)){ r.X=qx; r.Y=qy; r.Z=R1; return; }
+  Fp Z1Z1,U2,S2,H,Rr,t;
+  mont_sqr(Z1Z1,p.Z);
+  mont_mul(U2,qx,Z1Z1);
+  mont_mul(S2,qy,p.Z); mont_mul(S2,S2,Z1Z1);
+  sub_mod(H,U2,p.X);
+  sub_mod(Rr,S2,p.Y);
+  if(is_zero(H)){
+    if(is_zero(Rr)){ pt_double(r,p); return; }
+    pt_set_inf(r); return;
+  }
+  Fp HH,I,J,V;
+  mont_sqr(HH,H);
+  add_mod(I,HH,HH); add_mod(I,I,I);
+  mont_mul(J,H,I);
+  mont_mul(V,p.X,I);
+  add_mod(Rr,Rr,Rr);
+  Fp X3,Y3,Z3;
+  mont_sqr(X3,Rr); sub_mod(X3,X3,J);
+  add_mod(t,V,V); sub_mod(X3,X3,t);
+  sub_mod(t,V,X3); mont_mul(Y3,Rr,t);
+  Fp YJ; mont_mul(YJ,p.Y,J); add_mod(YJ,YJ,YJ);
+  sub_mod(Y3,Y3,YJ);
+  add_mod(Z3,p.Z,H); mont_sqr(Z3,Z3);
+  sub_mod(Z3,Z3,Z1Z1); sub_mod(Z3,Z3,HH);
+  r.X=X3; r.Y=Y3; r.Z=Z3;
+}
+
+// modular inverse via Fermat (q-2 exponent), for final affine conversion
+static void mont_pow(Fp&r, const Fp&a, const Fp&e){
+  Fp result=R1, base=a;
+  for(int limb=0; limb<4; limb++){
+    u64 bits=e.v[limb];
+    for(int i=0;i<64;i++){
+      if(bits&1) mont_mul(result,result,base);
+      mont_sqr(base,base);
+      bits>>=1;
+    }
+  }
+  r=result;
+}
+
+extern "C" {
+
+// points: n * 64 bytes (x,y 32B LE canonical each); infinity = all-zero y&x
+// scalars: n * 32 bytes LE; out: 64 bytes affine (canonical) + 1 inf flag
+void msm_g1(const uint8_t* points, const uint8_t* scalars, int64_t n,
+            int c, uint8_t* out, uint8_t* out_inf) {
+  if(c<=0) c=8;
+  // load + Montgomery-encode points
+  std::vector<Fp> PX(n), PY(n);
+  std::vector<uint8_t> PINF(n);
+  for(int64_t i=0;i<n;i++){
+    Fp x,y;
+    memcpy(x.v, points+i*64, 32);
+    memcpy(y.v, points+i*64+32, 32);
+    PINF[i] = is_zero(x)&&is_zero(y);
+    mont_mul(PX[i], x, R2);
+    mont_mul(PY[i], y, R2);
+  }
+  int maxbits=0;
+  for(int64_t i=0;i<n;i++){
+    const uint8_t* s=scalars+i*32;
+    for(int b=255;b>=0;b--){
+      if(s[b/8]&(1u<<(b%8))){ if(b+1>maxbits) maxbits=b+1; break; }
+    }
+  }
+  if(maxbits==0){ memset(out,0,64); *out_inf=1; return; }
+  int windows=(maxbits+c-1)/c;
+  int nbuckets=(1<<c)-1;
+
+  std::vector<Pt> window_sums(windows);
+  #pragma omp parallel for schedule(dynamic)
+  for(int w=0;w<windows;w++){
+    std::vector<Pt> buckets(nbuckets);
+    for(int b=0;b<nbuckets;b++) pt_set_inf(buckets[b]);
+    for(int64_t i=0;i<n;i++){
+      if(PINF[i]) continue;
+      const uint8_t* s=scalars+i*32;
+      int bitpos=w*c;
+      uint32_t digit=0;
+      for(int b=0;b<c;b++){
+        int bp=bitpos+b;
+        if(bp<256 && (s[bp/8]&(1u<<(bp%8)))) digit|=1u<<b;
+      }
+      if(digit) pt_add_affine(buckets[digit-1], buckets[digit-1], PX[i], PY[i]);
+    }
+    Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
+    for(int b=nbuckets-1;b>=0;b--){
+      pt_add(running,running,buckets[b]);
+      pt_add(acc,acc,running);
+    }
+    window_sums[w]=acc;
+  }
+  Pt total; pt_set_inf(total);
+  for(int w=windows-1;w>=0;w--){
+    if(w!=windows-1) for(int i=0;i<c;i++) pt_double(total,total);
+    pt_add(total,total,window_sums[w]);
+  }
+
+  if(pt_is_inf(total)){ memset(out,0,64); *out_inf=1; return; }
+  // affine: x = X/Z^2, y = Y/Z^3; then decode from Montgomery
+  Fp qm2=Q_MOD; // q-2
+  {
+    u128 borrow=0; u64 two=2;
+    for(int i=0;i<4;i++){
+      u128 d=(u128)qm2.v[i]-(i==0?two:0)-borrow;
+      qm2.v[i]=(u64)d; borrow=(d>>64)&1;
+    }
+  }
+  Fp zinv; mont_pow(zinv,total.Z,qm2);
+  Fp z2; mont_sqr(z2,zinv);
+  Fp z3; mont_mul(z3,z2,zinv);
+  Fp ax,ay;
+  mont_mul(ax,total.X,z2);
+  mont_mul(ay,total.Y,z3);
+  // decode: multiply by 1 (mont_mul with literal one)
+  Fp one={{1,0,0,0}};
+  mont_mul(ax,ax,one);
+  mont_mul(ay,ay,one);
+  memcpy(out, ax.v, 32);
+  memcpy(out+32, ay.v, 32);
+  *out_inf=0;
+}
+
+}  // extern "C"

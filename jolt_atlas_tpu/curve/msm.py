@@ -34,11 +34,17 @@ def msm(bases: list[G1], scalars) -> G1:
     """sum_i scalars[i] * bases[i].
 
     `scalars` may be a numpy integer array (any dtype) or list of ints;
-    negative scalars are folded as r - |s|. Windows are sized from the
-    actual maximum scalar magnitude.
+    negative scalars are folded as r - |s|. Dispatches to the native C++
+    Pippenger engine (curve/native.py) when available; the pure-Python
+    window method below is the portable fallback and correctness oracle.
     """
     if isinstance(scalars, np.ndarray):
         scalars = [int(s) for s in scalars]
+    if len(bases) >= 32:
+        from .native import msm_native
+        result = msm_native(bases, scalars)
+        if result is not None:
+            return result
     n = min(len(bases), len(scalars))
     scalars = [s % FR_MODULUS for s in scalars[:n]]
     bases = bases[:n]
