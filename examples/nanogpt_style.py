@@ -1,0 +1,101 @@
+"""nanoGPT-style proving demo: build a small multi-block transformer LM,
+run greedy generation, and prove+verify one forward pass.
+
+Reference analogue: jolt-atlas-core/examples/nanoGPT.rs +
+atlas-onnx-tracer/examples/nanoGPT_generate.rs.
+
+Usage: python examples/nanogpt_style.py [--blocks 2] [--dim 16] [--seq 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build_model(vocab, seq, dim, blocks, scale, rng):
+    from jolt_atlas_tpu.frontend import ModelBuilder
+    from jolt_atlas_tpu.frontend.quantize import quantize_tensor
+
+    b = ModelBuilder(scale=scale)
+    emb = b.constant(quantize_tensor(rng.normal(size=(vocab, dim)) * 0.3, scale))
+    pos = b.constant(quantize_tensor(rng.normal(size=(seq, dim)) * 0.1, scale))
+    tok = b.input([seq])
+    x = b.add(b.gather(emb, tok), pos)
+    for _ in range(blocks):
+        # RMS norm
+        mos = b.mean_of_squares(x, [1])
+        xn = b.mul(x, b.broadcast(b.rsqrt(mos), [seq, dim]))
+        # single-head attention
+        wq = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
+        wk = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
+        wv = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
+        q = b.matmul(xn, wq)
+        k = b.matmul(xn, wk)
+        v = b.matmul(xn, wv)
+        att = b.softmax_last_axis(b.einsum("mk,nk->mn", [q, k]))
+        x = b.add(x, b.matmul(att, v))
+        # FFN with tanh
+        w1 = b.constant(quantize_tensor(rng.normal(size=(dim, 2 * dim)) * 0.3, scale))
+        w2 = b.constant(quantize_tensor(rng.normal(size=(2 * dim, dim)) * 0.3, scale))
+        x = b.add(x, b.matmul(b.tanh(b.matmul(x, w1)), w2))
+    # LM head
+    wout = b.constant(quantize_tensor(rng.normal(size=(dim, vocab)) * 0.3, scale))
+    logits = b.matmul(x, wout)
+    b.output(logits)
+    return b.build()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=1)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--seq", type=int, default=8)
+    ap.add_argument("--vocab", type=int, default=32)
+    ap.add_argument("--gen", type=int, default=4, help="greedy tokens to generate")
+    ap.add_argument("--trace", action="store_true")
+    args = ap.parse_args()
+
+    from jolt_atlas_tpu.preprocessing import AtlasPreprocessing
+    from jolt_atlas_tpu.prover import AtlasProver
+    from jolt_atlas_tpu.verifier import AtlasVerifier
+    from jolt_atlas_tpu.serde import serialize_proof, deserialize_proof
+    from jolt_atlas_tpu.utils import profiling
+
+    if args.trace:
+        profiling.enable()
+
+    rng = np.random.default_rng(42)
+    model = build_model(args.vocab, args.seq, args.dim, args.blocks, 8, rng)
+    print(f"model: {len(model.graph.nodes)} nodes, {args.blocks} blocks, "
+          f"dim {args.dim}, seq {args.seq}, vocab {args.vocab}")
+
+    # greedy generation with the quantized interpreter
+    toks = list(rng.integers(0, args.vocab, size=args.seq))
+    for _ in range(args.gen):
+        logits = model.forward([np.array(toks[-args.seq:], dtype=np.int32)])[0]
+        toks.append(int(np.argmax(logits[-1])))
+    print("greedy tokens:", toks)
+
+    print("preprocessing (SRS)...")
+    t0 = time.time()
+    pp = AtlasPreprocessing.preprocess(model)
+    print(f"  setup: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    proof, io = AtlasProver(pp).prove([np.array(toks[:args.seq], dtype=np.int32)])
+    t_prove = time.time() - t0
+    blob = serialize_proof(proof)
+    print(f"  prove: {t_prove:.1f}s, proof {len(blob)/1024:.1f} KB")
+    t0 = time.time()
+    ok = AtlasVerifier(pp).verify(deserialize_proof(blob), io)
+    print(f"  verify: {time.time()-t0:.1f}s -> {ok}")
+    if args.trace:
+        print(profiling.report())
+    assert ok
+
+
+if __name__ == "__main__":
+    main()

@@ -2,18 +2,20 @@
 
 Mirrors reference joltworks/src/poly/opening_proof.rs +
 subprotocols/opening_reduction.rs: every polynomial-opening claim made during
-the IOP is collected; committed-poly claims each spawn a degree-2 reduction
-sumcheck instance proving  claim = sum_x eq(point, x) * P(x);  all instances
-are batched into ONE BatchedSumcheck ending at a common challenge point
-r_sumcheck; the per-poly evaluations P_i(r_sumcheck) are gamma-RLC'd into a
-single joint polynomial opened once with HyperKZG.
+the IOP is collected; committed-poly claims are *grouped by opening point*
+and gamma-RLC'd, one degree-2 reduction sumcheck instance per distinct point
+proving  sum_j gamma^j claim_j = sum_x eq(point, x) * (sum_j gamma^j P_j)(x);
+all group instances are batched into ONE BatchedSumcheck ending at a common
+challenge point r_sumcheck; the per-group evaluations G_g(r_sumcheck) are
+delta-RLC'd into a single joint polynomial opened once with HyperKZG (the
+verifier folds the same RLC over the commitments homomorphically).
 
 Design deviation from the reference (documented): the reference keys
 reduction instances by CommittedPoly (one PCS-verified point per polynomial,
-later appends overwrite earlier ones — opening_proof.rs:309,369). We key by
-OpeningId, so every claim on a committed polynomial gets its own reduction
-instance and is PCS-verified. Strictly sound; costs a few extra degree-2
-instances per proof.
+later appends overwrite earlier ones — opening_proof.rs:309,369). We keep
+every OpeningId claim alive and RLC all of them into the reduction, so every
+claim is PCS-bound (strictly sound; the gamma coefficients are drawn after
+all claims are in the transcript).
 """
 
 from __future__ import annotations
@@ -35,8 +37,8 @@ from ..subprotocols.sumcheck import (
 OPENING_SUMCHECK_DEGREE = 2
 
 
-class _ReductionProver(SumcheckInstanceProver):
-    """Proves claim = sum_x eq(point, x) * P(x); final claim P(r')."""
+class _PendingOpening:
+    """One committed-poly claim awaiting the batched reduction."""
 
     def __init__(self, opening_id: OpeningId, poly_id: CommittedPoly,
                  point: list[Fr], claim: Fr):
@@ -44,12 +46,51 @@ class _ReductionProver(SumcheckInstanceProver):
         self.poly_id = poly_id
         self.point = point
         self.claim = claim
+
+
+def _group_by_point(pending: list[_PendingOpening]):
+    """Group pending openings by exact opening point, preserving the order of
+    first occurrence (deterministic on both sides: derived from the sorted
+    OpeningId order and points both parties know)."""
+    groups: dict[tuple, list[tuple[int, _PendingOpening]]] = {}
+    order: list[tuple] = []
+    for j, p in enumerate(pending):
+        key = tuple(x.v for x in p.point)
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((j, p))
+    return [groups[k] for k in order]
+
+
+class _GroupReductionProver(SumcheckInstanceProver):
+    """Proves sum_j gamma^j claim_j = sum_x eq(point, x) * G(x) where
+    G = sum_j gamma^j P_j over the members sharing this opening point."""
+
+    def __init__(self, members, gamma_powers: list[Fr]):
+        self.members = members            # [(global_idx, _PendingOpening)]
+        self.point = members[0][1].point
+        claim = Fr.zero()
+        for j, p in members:
+            claim = claim + gamma_powers[j] * p.claim
+        self.claim = claim
+        self.gamma_powers = gamma_powers
         self.poly: MLPoly | None = None
         self.eq: MLPoly | None = None
+        self.rlc_fvec = None              # kept for the joint materialization
 
     def prepare(self, poly_map):
-        src = poly_map[self.poly_id]
-        self.poly = src.clone()
+        n = 1 << len(self.point)
+        acc = vec.zeros(n)
+        for j, p in self.members:
+            f = poly_map[p.poly_id].to_field()
+            contrib = vec.vscale(f, self.gamma_powers[j])
+            if len(f) < n:
+                acc[: len(f)] = vec.vadd(acc[: len(f)], contrib)
+            else:
+                acc = vec.vadd(acc, contrib)
+        self.rlc_fvec = acc
+        self.poly = MLPoly(fvec=acc.copy())
         self.eq = MLPoly(fvec=eq_evals(self.point))
 
     def num_rounds(self) -> int:
@@ -75,14 +116,15 @@ class _ReductionProver(SumcheckInstanceProver):
         return self.poly.final_claim()
 
 
-class _ReductionVerifier(SumcheckInstanceVerifier):
-    def __init__(self, opening_id: OpeningId, poly_id: CommittedPoly,
-                 point: list[Fr], claim: Fr):
-        self.opening_id = opening_id
-        self.poly_id = poly_id
-        self.point = point
+class _GroupReductionVerifier(SumcheckInstanceVerifier):
+    def __init__(self, members, gamma_powers: list[Fr]):
+        self.members = members
+        self.point = members[0][1].point
+        claim = Fr.zero()
+        for j, p in members:
+            claim = claim + gamma_powers[j] * p.claim
         self.claim = claim
-        self.sumcheck_claim: Fr | None = None  # P(r'), from the proof
+        self.sumcheck_claim: Fr | None = None  # G(r'), from the proof
 
     def num_rounds(self) -> int:
         return len(self.point)
@@ -100,7 +142,7 @@ class _ReductionVerifier(SumcheckInstanceVerifier):
 class ProverOpeningAccumulator:
     def __init__(self):
         self.openings: dict[OpeningId, tuple[list[Fr], Fr]] = {}
-        self.reductions: dict[OpeningId, _ReductionProver] = {}
+        self.pending: dict[OpeningId, _PendingOpening] = {}
 
     # -- appends (absorb claim into transcript, like the reference) --------
     def append_committed(self, transcript, opening_id: OpeningId,
@@ -108,7 +150,7 @@ class ProverOpeningAccumulator:
         assert not opening_id.is_virtual
         transcript.append_scalar(claim)
         self.openings[opening_id] = (list(point), claim)
-        self.reductions[opening_id] = _ReductionProver(
+        self.pending[opening_id] = _PendingOpening(
             opening_id, opening_id.poly, list(point), claim)
 
     def append_virtual(self, transcript, opening_id: OpeningId,
@@ -124,28 +166,43 @@ class ProverOpeningAccumulator:
         """Claims only (points dropped) — goes into the serialized proof."""
         return {k: v[1] for k, v in self.openings.items()}
 
-    # -- batch opening reduction ------------------------------------------
-    def sorted_reductions(self) -> list[_ReductionProver]:
-        return [self.reductions[k] for k in sorted(self.reductions)]
+    @property
+    def reductions(self):
+        return self.pending
 
+    def sorted_pending(self) -> list[_PendingOpening]:
+        return [self.pending[k] for k in sorted(self.pending)]
+
+    # -- batch opening reduction ------------------------------------------
     def prove_batch_opening(self, poly_map, transcript):
-        """Runs the batched reduction sumcheck; returns
-        (sumcheck_proof, r_sumcheck, sumcheck_claims, gamma_powers)."""
-        instances = self.sorted_reductions()
+        """Runs the point-grouped batched reduction sumcheck; returns
+        (sumcheck_proof, r_sumcheck, group_claims, joint_fvec) where
+        joint_fvec (length 2^max_rounds) is the delta-RLC of the group RLC
+        polynomials, ready for the single HyperKZG opening."""
+        pending = self.sorted_pending()
+        gamma_powers = transcript.challenge_scalar_powers(len(pending))
+        instances = [_GroupReductionProver(m, gamma_powers)
+                     for m in _group_by_point(pending)]
         for inst in instances:
             inst.prepare(poly_map)
         proof, r_sumcheck = BatchedSumcheck.prove(instances, self, transcript)
-        sumcheck_claims = [inst.final_poly_claim() for inst in instances]
-        transcript.append_scalars(sumcheck_claims)
-        gamma_powers = transcript.challenge_scalar_powers(len(sumcheck_claims))
-        return proof, r_sumcheck, sumcheck_claims, gamma_powers
+        group_claims = [inst.final_poly_claim() for inst in instances]
+        transcript.append_scalars(group_claims)
+        delta_powers = transcript.challenge_scalar_powers(len(group_claims))
+        max_len = 1 << len(r_sumcheck)
+        joint = vec.zeros(max_len)
+        for delta, inst in zip(delta_powers, instances):
+            contrib = vec.vscale(inst.rlc_fvec, delta)
+            n = len(contrib)
+            joint[:n] = vec.vadd(joint[:n], contrib)
+        return proof, r_sumcheck, group_claims, vec.to_fr(joint)
 
 
 class VerifierOpeningAccumulator:
     def __init__(self, proof_claims: dict[OpeningId, Fr]):
         self.proof_claims = proof_claims
         self.openings: dict[OpeningId, tuple[list[Fr], Fr]] = {}
-        self.reductions: dict[OpeningId, _ReductionVerifier] = {}
+        self.pending: dict[OpeningId, _PendingOpening] = {}
 
     def claim_of(self, opening_id: OpeningId) -> Fr:
         return self.proof_claims[opening_id]
@@ -156,7 +213,7 @@ class VerifierOpeningAccumulator:
         claim = self.proof_claims[opening_id]
         transcript.append_scalar(claim)
         self.openings[opening_id] = (list(point), claim)
-        self.reductions[opening_id] = _ReductionVerifier(
+        self.pending[opening_id] = _PendingOpening(
             opening_id, opening_id.poly, list(point), claim)
 
     def append_virtual(self, transcript, opening_id: OpeningId,
@@ -169,53 +226,42 @@ class VerifierOpeningAccumulator:
     def get_opening(self, opening_id: OpeningId) -> tuple[list[Fr], Fr]:
         return self.openings[opening_id]
 
-    def sorted_reductions(self) -> list[_ReductionVerifier]:
-        return [self.reductions[k] for k in sorted(self.reductions)]
+    @property
+    def reductions(self):
+        return self.pending
 
-    def verify_batch_opening(self, proof, sumcheck_claims: list[Fr], transcript):
-        """Verifies the batched reduction sumcheck; returns
-        (r_sumcheck, gamma_powers)."""
-        instances = self.sorted_reductions()
-        assert len(sumcheck_claims) == len(instances), "claim count mismatch"
-        for inst, c in zip(instances, sumcheck_claims):
+    def sorted_pending(self) -> list[_PendingOpening]:
+        return [self.pending[k] for k in sorted(self.pending)]
+
+    def verify_batch_opening(self, proof, group_claims: list[Fr], transcript):
+        """Verifies the point-grouped batched reduction sumcheck; returns
+        (r_sumcheck, joint_claim, commit_coeffs) where commit_coeffs aligns
+        with sorted_pending() order: coeff_j = gamma^j * delta^{group(j)},
+        so the joint commitment is sum_j coeff_j * C_{poly(j)}."""
+        pending = self.sorted_pending()
+        gamma_powers = transcript.challenge_scalar_powers(len(pending))
+        grouped = _group_by_point(pending)
+        instances = [_GroupReductionVerifier(m, gamma_powers) for m in grouped]
+        if len(group_claims) != len(instances):
+            raise ValueError("reduced claim count mismatch")
+        for inst, c in zip(instances, group_claims):
             inst.sumcheck_claim = c
         r_sumcheck = BatchedSumcheck.verify(proof, instances, self, transcript)
-        transcript.append_scalars(sumcheck_claims)
-        gamma_powers = transcript.challenge_scalar_powers(len(sumcheck_claims))
-        return r_sumcheck, gamma_powers
-
-    def compute_joint_claim(self, r_sumcheck: list[Fr],
-                            sumcheck_claims: list[Fr],
-                            gamma_powers: list[Fr]) -> Fr:
-        """Joint opening claim: shorter polys are embedded at the low indices
-        of the joint polynomial, contributing a prod(1-r) prefix factor
-        (reference opening_proof.rs:1016-1036)."""
-        max_rounds = max(i.num_rounds() for i in self.sorted_reductions())
-        total = Fr.zero()
+        transcript.append_scalars(group_claims)
+        delta_powers = transcript.challenge_scalar_powers(len(group_claims))
+        max_rounds = len(r_sumcheck)
+        # joint claim: shorter groups embed at the low indices of the joint
+        # polynomial, contributing a prod(1-r) prefix factor (reference
+        # opening_proof.rs:1016-1036)
         one = Fr.one()
-        for gamma, claim, inst in zip(gamma_powers, sumcheck_claims,
-                                      self.sorted_reductions()):
+        joint_claim = Fr.zero()
+        for delta, claim, inst in zip(delta_powers, group_claims, instances):
             prefix = one
             for r in r_sumcheck[: max_rounds - inst.num_rounds()]:
                 prefix = prefix * (one - r)
-            total = total + gamma * claim * prefix
-        return total
-
-
-def build_materialized_rlc(gamma_powers: list[Fr],
-                           ordered_polys: list[tuple[CommittedPoly, MLPoly]],
-                           poly_map) -> list[Fr]:
-    """joint[i] = sum_j gamma_j * P_j[i] (zero-padded to the max length).
-
-    `ordered_polys` aligns with gamma order (reference rlc_polynomial.rs:13).
-    """
-    max_len = max(len(poly_map[pid]) for pid, _ in ordered_polys)
-    acc = vec.zeros(max_len)
-    for gamma, (pid, _) in zip(gamma_powers, ordered_polys):
-        p = poly_map[pid].to_field()
-        contrib = vec.vscale(p, gamma)
-        if len(p) < max_len:
-            acc[: len(p)] = vec.vadd(acc[: len(p)], contrib)
-        else:
-            acc = vec.vadd(acc, contrib)
-    return [Fr(int(x)) for x in acc]
+            joint_claim = joint_claim + delta * claim * prefix
+        commit_coeffs = [Fr.zero()] * len(pending)
+        for delta, members in zip(delta_powers, grouped):
+            for j, _p in members:
+                commit_coeffs[j] = gamma_powers[j] * delta
+        return r_sumcheck, joint_claim, commit_coeffs

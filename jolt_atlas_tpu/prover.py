@@ -15,13 +15,14 @@ from .frontend import ops as FOPS
 from .frontend.graph import Model
 from .ids import OpeningId, SumcheckId, VirtualPoly
 from .poly.mlpoly import MLPoly
-from .poly.opening import ProverOpeningAccumulator, build_materialized_rlc
+from .poly.opening import ProverOpeningAccumulator
 from .preprocessing import AtlasPreprocessing
 from .proof import ONNXProof
 from .subprotocols.eval_reduction import prove_eval_reduction
 from .transcripts import Blake2bTranscript
 from .commitment.hyperkzg import HyperKZG
 from .curve.msm import msm
+from .utils.profiling import span
 from .zkops import ops as ZOPS
 from .zkops.ops import padded_flat
 
@@ -80,15 +81,18 @@ class AtlasProver:
 
         # --- witness generation + commitments (sorted CommittedPoly order) ---
         poly_map = {}
-        for node in model.graph.sorted_nodes():
-            polys, chunks = ZOPS.node_witness(node, model, trace)
-            poly_map.update(polys)
-            ctx.chunks.update(chunks)
+        with span("witness_generation"):
+            for node in model.graph.sorted_nodes():
+                polys, chunks = ZOPS.node_witness(node, model, trace)
+                poly_map.update(polys)
+                ctx.chunks.update(chunks)
         commitments = {}
-        for pid in sorted(poly_map):
-            scalars = poly_map[pid].ints
-            commitments[pid] = msm(self.pp.srs.g1_powers[: len(scalars)], scalars)
-            transcript.append_point(commitments[pid])
+        with span("commit"):
+            for pid in sorted(poly_map):
+                scalars = poly_map[pid].ints
+                commitments[pid] = msm(self.pp.srs.g1_powers[: len(scalars)],
+                                       scalars)
+                transcript.append_point(commitments[pid])
 
         # --- output claims ---
         for k, out_idx in enumerate(model.graph.outputs):
@@ -103,6 +107,7 @@ class AtlasProver:
             accumulator.append_virtual(transcript, oid, r_tau, claim)
 
         # --- reverse-topological IOP ---
+        iop_span = span("iop"); iop_span.__enter__()
         for node in reversed(model.graph.sorted_nodes()):
             claims = collect_node_claims(accumulator, node.idx)
             if isinstance(node.operator, (FOPS.Input, FOPS.Constant)):
@@ -120,19 +125,16 @@ class AtlasProver:
                 ctx.eval_reduction_proofs[node.idx] = proof
                 ctx.reduced[node.idx] = (new_pt, new_claim)
             ZOPS.prove_node(node, ctx)
+        iop_span.__exit__(None, None, None)
 
         # --- batched opening reduction + joint HyperKZG opening ---
         if accumulator.reductions:
-            (bo_proof, r_sumcheck, reduced_claims, gamma_powers) = \
-                accumulator.prove_batch_opening(poly_map, transcript)
-            ordered = [(inst.poly_id, None)
-                       for inst in accumulator.sorted_reductions()]
-            joint = build_materialized_rlc(gamma_powers, ordered, poly_map)
-            max_rounds = len(r_sumcheck)
-            if len(joint) < (1 << max_rounds):
-                joint = joint + [Fr.zero()] * ((1 << max_rounds) - len(joint))
-            hk_proof = HyperKZG.open(self.pp.srs, joint, list(r_sumcheck),
-                                     transcript)
+            with span("batch_opening_reduction"):
+                (bo_proof, r_sumcheck, reduced_claims, joint) = \
+                    accumulator.prove_batch_opening(poly_map, transcript)
+            with span("hyperkzg_open"):
+                hk_proof = HyperKZG.open(self.pp.srs, joint, list(r_sumcheck),
+                                         transcript)
         else:  # no committed polynomials (pure claim-plumbing graph)
             bo_proof, reduced_claims, hk_proof = None, [], None
 

@@ -116,13 +116,11 @@ class AtlasVerifier:
             if proof.batch_opening_proof is not None or proof.reduced_claims:
                 raise VerificationError("unexpected batch opening proof")
             return
-        r_sumcheck, gamma_powers = accumulator.verify_batch_opening(
+        r_sumcheck, joint_claim, commit_coeffs = accumulator.verify_batch_opening(
             proof.batch_opening_proof, proof.reduced_claims, transcript)
-        joint_claim = accumulator.compute_joint_claim(
-            r_sumcheck, proof.reduced_claims, gamma_powers)
-        bases = [proof.commitments[inst.poly_id]
-                 for inst in accumulator.sorted_reductions()]
-        joint_c = msm(bases, [g.v for g in gamma_powers])
+        bases = [proof.commitments[p.poly_id]
+                 for p in accumulator.sorted_pending()]
+        joint_c = msm(bases, [c.v for c in commit_coeffs])
         ok = HyperKZG.verify(self.pp.srs, joint_c, list(r_sumcheck),
                              joint_claim, proof.joint_opening_proof, transcript)
         if not ok:

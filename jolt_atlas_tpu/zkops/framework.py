@@ -108,6 +108,10 @@ def lt_const_terms(C: int, p: str, const: int):
     prefix-suffix table, lookup_tables/unsigned_less_than.rs):
         LT = sum_i ( prod_{l>i} [chunk_l == const_l] ) * [chunk_i < const_i].
     Returns (terms, derived_spec)."""
+    if const >= 16 ** C:
+        raise ValueError(f"lt_const_terms: const {const} needs more than "
+                         f"{C} nibbles (the decomposition would silently "
+                         f"truncate it and the LT relation would be wrong)")
     dch = [(const >> (4 * l)) & 0xF for l in range(C)]
     terms = []
     spec = {}

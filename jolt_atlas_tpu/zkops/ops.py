@@ -1259,7 +1259,10 @@ def _verify_gather(node, ctx, r, out_claim):
 # ---------------------------------------------------------------------------
 
 def _scdiv_chunks(divisor: int) -> int:
-    return max(1, (max(divisor - 1, 1).bit_length() + 3) // 4)
+    # Sized so the constant D itself fits in C nibbles (D < 16^C): the
+    # LT-const decomposition needs D's chunks, not just rem's (rem < D).
+    # E.g. D=16 needs 2 chunks even though rem fits in one.
+    return max(1, (divisor.bit_length() + 3) // 4)
 
 
 def _scdiv_terms(gamma: Fr, divisor: int):
@@ -1859,7 +1862,9 @@ class MoSAxisContractionVerifier(SumcheckInstanceVerifier):
 
 
 def _mos_rem_chunks(op) -> int:
-    bits = (op.divisor() - 1).bit_length()
+    # Like _scdiv_chunks: C must make the divisor D representable (D < 16^C)
+    # for the LT-const check, so power-of-16 divisors get an extra chunk.
+    bits = op.divisor().bit_length()
     return max(1, (bits + 3) // 4)
 
 

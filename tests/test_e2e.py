@@ -294,6 +294,24 @@ class TestE2ELayerNormPieces:
         b.output(y)
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=8), s)])
 
+    def test_mean_of_squares_pow16_divisor(self):
+        """Regression: divisor 16 = 16^1 needs an extra remainder chunk for
+        the LT-const range check (the constant itself must fit in C nibbles)."""
+        s = 8
+        b = ModelBuilder(scale=s)
+        x = b.input([8, 16])
+        b.output(b.mean_of_squares(x, [1]))
+        prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(8, 16)), s)])
+
+    def test_scdiv_pow16_divisor(self):
+        """Regression: same LT-const sizing bug for ScalarConstDiv by 16/256."""
+        for d in (16, 256):
+            b = ModelBuilder(scale=8)
+            x = b.input([8])
+            b.output(b.scalar_const_div(x, d))
+            prove_and_verify(b.build(),
+                             [quantize_tensor(rng.normal(size=8) * 3, 8)])
+
 
 class TestE2EDiv:
     def test_div(self):
