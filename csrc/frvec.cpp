@@ -1,0 +1,430 @@
+// Native BN254 Fr vector kernels: 4x64-bit Montgomery arithmetic (CIOS),
+// OpenMP-parallel elementwise ops over contiguous (n,4) u64 LE arrays.
+//
+// This is the host-side scalar-field performance layer backing the sumcheck
+// protocol loops (reference: arkworks ark_bn254::Fr used throughout
+// joltworks/src/subprotocols/sumcheck.rs) — the Python side keeps vectors in
+// Montgomery limb form end-to-end and only converts at Fr boundaries.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC -o libfrvec.so frvec.cpp
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef int64_t i64;
+
+struct Fr4 { u64 v[4]; };
+
+static const Fr4 R_MOD = {{0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                           0xb85045b68181585dULL, 0x30644e72e131a029ULL}};
+static const u64 R_INV = 0xc2e1f593efffffffULL;  // -r^{-1} mod 2^64
+static const Fr4 R1 = {{0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL,
+                        0x666ea36f7879462eULL, 0x0e0a77c19a07df2fULL}};
+static const Fr4 R2 = {{0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL,
+                        0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL}};
+
+static inline bool ge(const Fr4&a, const Fr4&b){
+  for(int i=3;i>=0;i--){ if(a.v[i]!=b.v[i]) return a.v[i]>b.v[i]; }
+  return true;
+}
+
+static inline void sub_nocheck(Fr4&o, const Fr4&a, const Fr4&b){
+  u128 borrow=0;
+  for(int i=0;i<4;i++){
+    u128 d=(u128)a.v[i]-b.v[i]-borrow;
+    o.v[i]=(u64)d; borrow=(d>>64)&1;
+  }
+}
+
+static inline void fr_add(Fr4&o, const Fr4&a, const Fr4&b){
+  u128 carry=0;
+  for(int i=0;i<4;i++){
+    u128 s=(u128)a.v[i]+b.v[i]+carry;
+    o.v[i]=(u64)s; carry=s>>64;
+  }
+  if(carry || ge(o,R_MOD)) sub_nocheck(o,o,R_MOD);
+}
+
+static inline void fr_sub(Fr4&o, const Fr4&a, const Fr4&b){
+  u128 borrow=0;
+  Fr4 t;
+  for(int i=0;i<4;i++){
+    u128 d=(u128)a.v[i]-b.v[i]-borrow;
+    t.v[i]=(u64)d; borrow=(d>>64)&1;
+  }
+  if(borrow){
+    u128 carry=0;
+    for(int i=0;i<4;i++){
+      u128 s=(u128)t.v[i]+R_MOD.v[i]+carry;
+      t.v[i]=(u64)s; carry=s>>64;
+    }
+  }
+  o=t;
+}
+
+// CIOS Montgomery multiplication
+static inline void fr_mul(Fr4&out, const Fr4&a, const Fr4&b){
+  u64 t[6]={0,0,0,0,0,0};
+  for(int i=0;i<4;i++){
+    u128 carry=0;
+    u64 ai=a.v[i];
+    for(int j=0;j<4;j++){
+      u128 cur=(u128)t[j]+(u128)ai*b.v[j]+carry;
+      t[j]=(u64)cur; carry=cur>>64;
+    }
+    u128 s=(u128)t[4]+carry;
+    t[4]=(u64)s; t[5]=(u64)(s>>64);
+    u64 m=t[0]*R_INV;
+    u128 cur=(u128)t[0]+(u128)m*R_MOD.v[0];
+    carry=cur>>64;
+    for(int j=1;j<4;j++){
+      cur=(u128)t[j]+(u128)m*R_MOD.v[j]+carry;
+      t[j-1]=(u64)cur; carry=cur>>64;
+    }
+    s=(u128)t[4]+carry;
+    t[3]=(u64)s;
+    t[4]=t[5]+(u64)(s>>64);
+    t[5]=0;
+  }
+  Fr4 r={{t[0],t[1],t[2],t[3]}};
+  if(t[4] || ge(r,R_MOD)) sub_nocheck(r,r,R_MOD);
+  out=r;
+}
+
+#define PAR_THRESH 2048
+
+extern "C" {
+
+// ---- conversions -----------------------------------------------------------
+
+// signed 64-bit ints -> Montgomery form (fold negatives mod r)
+void frv_from_i64(const i64* in, u64* out, i64 n){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    i64 v=in[i];
+    Fr4 c={{0,0,0,0}};
+    if(v>=0){ c.v[0]=(u64)v; }
+    else {
+      // r - |v|: |v| <= 2^63 < r0? r0=0x43E1..>2^62 but |v| can reach 2^63.
+      u64 mag=(u64)(-(u128)v);
+      if(mag<=R_MOD.v[0]){ c=R_MOD; c.v[0]-=mag; }
+      else { Fr4 m={{mag,0,0,0}}; sub_nocheck(c,R_MOD,m); }
+    }
+    Fr4 o; fr_mul(o,c,R2);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// canonical 4-limb -> Montgomery
+void frv_encode(const u64* in, u64* out, i64 n){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 c; memcpy(c.v,in+i*4,32);
+    Fr4 o; fr_mul(o,c,R2);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// Montgomery -> canonical 4-limb
+void frv_decode(const u64* in, u64* out, i64 n){
+  static const Fr4 ONE={{1,0,0,0}};
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 c; memcpy(c.v,in+i*4,32);
+    Fr4 o; fr_mul(o,c,ONE);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// ---- elementwise -----------------------------------------------------------
+
+void frv_mul(const u64* a, const u64* b, u64* out, i64 n){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 x,y,o;
+    memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32);
+    fr_mul(o,x,y);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+void frv_add(const u64* a, const u64* b, u64* out, i64 n){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 x,y,o;
+    memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32);
+    fr_add(o,x,y);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+void frv_sub(const u64* a, const u64* b, u64* out, i64 n){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 x,y,o;
+    memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32);
+    fr_sub(o,x,y);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// out = a * s (s a single Montgomery scalar)
+void frv_scale(const u64* a, const u64* s, u64* out, i64 n){
+  Fr4 sc; memcpy(sc.v,s,32);
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 x,o;
+    memcpy(x.v,a+i*4,32);
+    fr_mul(o,x,sc);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// out = a + s * b (axpy; the sumcheck bind primitive's general form)
+void frv_axpy(const u64* a, const u64* s, const u64* b, u64* out, i64 n){
+  Fr4 sc; memcpy(sc.v,s,32);
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 x,y,o;
+    memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32);
+    fr_mul(o,y,sc);
+    fr_add(o,x,o);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// ---- reductions ------------------------------------------------------------
+
+void frv_sum(const u64* a, i64 n, u64* out){
+  int nt=1;
+  #ifdef _OPENMP
+  #endif
+  Fr4 total={{0,0,0,0}};
+  #pragma omp parallel if(n>PAR_THRESH)
+  {
+    Fr4 local={{0,0,0,0}};
+    #pragma omp for schedule(static) nowait
+    for(i64 i=0;i<n;i++){
+      Fr4 x; memcpy(x.v,a+i*4,32);
+      fr_add(local,local,x);
+    }
+    #pragma omp critical
+    fr_add(total,total,local);
+  }
+  (void)nt;
+  memcpy(out,total.v,32);
+}
+
+void frv_dot(const u64* a, const u64* b, i64 n, u64* out){
+  Fr4 total={{0,0,0,0}};
+  #pragma omp parallel if(n>PAR_THRESH)
+  {
+    Fr4 local={{0,0,0,0}};
+    #pragma omp for schedule(static) nowait
+    for(i64 i=0;i<n;i++){
+      Fr4 x,y,p;
+      memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32);
+      fr_mul(p,x,y);
+      fr_add(local,local,p);
+    }
+    #pragma omp critical
+    fr_add(total,total,local);
+  }
+  memcpy(out,total.v,32);
+}
+
+// sum_i a[i]*b[i]*c[i] (degree-2 sumcheck round evaluation in one pass)
+void frv_dot3(const u64* a, const u64* b, const u64* c, i64 n, u64* out){
+  Fr4 total={{0,0,0,0}};
+  #pragma omp parallel if(n>PAR_THRESH)
+  {
+    Fr4 local={{0,0,0,0}};
+    #pragma omp for schedule(static) nowait
+    for(i64 i=0;i<n;i++){
+      Fr4 x,y,z,p;
+      memcpy(x.v,a+i*4,32); memcpy(y.v,b+i*4,32); memcpy(z.v,c+i*4,32);
+      fr_mul(p,x,y);
+      fr_mul(p,p,z);
+      fr_add(local,local,p);
+    }
+    #pragma omp critical
+    fr_add(total,total,local);
+  }
+  memcpy(out,total.v,32);
+}
+
+// ---- sumcheck fused kernels ------------------------------------------------
+
+// bind: out[i] = lo[i] + r*(hi[i]-lo[i]), lo/hi length n
+void frv_bind(const u64* lo, const u64* hi, const u64* r, u64* out, i64 n){
+  Fr4 rc; memcpy(rc.v,r,32);
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 l,h,d,o;
+    memcpy(l.v,lo+i*4,32); memcpy(h.v,hi+i*4,32);
+    fr_sub(d,h,l);
+    fr_mul(d,d,rc);
+    fr_add(o,l,d);
+    memcpy(out+i*4,o.v,32);
+  }
+}
+
+// sumcheck eval ladder: for the univariate restriction P(t) over pairs
+// (lo, hi), emit [P(0), P(2), P(3), ..., P(d)] = [lo, lo+2diff, +diff, ...]
+// outs: (d) x n contiguous blocks, d = number of emitted evals
+void frv_eval_ladder(const u64* lo, const u64* hi, i64 n, int nevals,
+                     u64* outs){
+  #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
+  for(i64 i=0;i<n;i++){
+    Fr4 l,h,d;
+    memcpy(l.v,lo+i*4,32); memcpy(h.v,hi+i*4,32);
+    fr_sub(d,h,l);
+    memcpy(outs+i*4,l.v,32);           // P(0) = lo
+    Fr4 cur=h;                          // P(1) = hi
+    for(int t=1;t<nevals;t++){
+      fr_add(cur,cur,d);               // P(t+1) = P(t) + diff
+      memcpy(outs+(i64)t*n*4+i*4,cur.v,32);
+    }
+  }
+}
+
+// ---- fused sumcheck instance kernels ---------------------------------------
+//
+// A sumcheck instance is P rows (eq table + named polynomials, all length n)
+// plus T weighted product terms over row indices. One round message =
+// one frv_terms_round call; one challenge binding = one frv_bind_rows call.
+// This replaces hundreds of per-factor elementwise kernel launches per round
+// (the reference gets the same effect from rayon fold loops in
+// subprotocols/sumcheck.rs).
+
+// rows: (P, n) of u64x4. coeffs: (T,4) Montgomery. offsets: (T+1) prefix
+// index into fidx; fidx: flat factor row-indices. out: (nevals, 4) sums for
+// the ladder [P(0), P(2), ..., P(d)] where nevals = max(1, d).
+void frv_terms_round(const u64* rows, i64 P, i64 n, int nevals,
+                     const u64* coeffs, const i64* offsets, const i64* fidx,
+                     i64 T, u64* out){
+  i64 half=n/2;
+  const int MAXE=20, MAXP=48;  // degree/row caps (checked Python-side)
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 lo,hi,d;
+        memcpy(lo.v,rows+(p*n+j)*4,32);
+        memcpy(hi.v,rows+(p*n+half+j)*4,32);
+        e[p][0]=lo;                      // P(0)
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;                    // P(1)
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);           // P(2), P(3), ...
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(int t=0;t<nevals;t++){
+        for(i64 k=0;k<T;k++){
+          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
+          for(i64 f=offsets[k];f<offsets[k+1];f++)
+            fr_mul(prod,prod,e[fidx[f]][t]);
+          fr_add(local[t],local[t],prod);
+        }
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// Pointer-array variants: rows passed as P separate contiguous buffers, so
+// instance construction never copies and binding halves in place.
+
+void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
+                       const u64* coeffs, const i64* offsets, const i64* fidx,
+                       i64 T, u64* out){
+  i64 half=n/2;
+  const int MAXE=20, MAXP=48;
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 lo,hi,d;
+        memcpy(lo.v,rows[p]+j*4,32);
+        memcpy(hi.v,rows[p]+(half+j)*4,32);
+        e[p][0]=lo;
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(int t=0;t<nevals;t++){
+        for(i64 k=0;k<T;k++){
+          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
+          for(i64 f=offsets[k];f<offsets[k+1];f++)
+            fr_mul(prod,prod,e[fidx[f]][t]);
+          fr_add(local[t],local[t],prod);
+        }
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// in-place HighToLow bind of each row buffer (first half overwritten)
+void frv_bind_rows_p(u64* const* rows, i64 P, i64 n, const u64* r){
+  Fr4 rc; memcpy(rc.v,r,32);
+  i64 half=n/2;
+  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
+  for(i64 p=0;p<P;p++){
+    for(i64 j=0;j<half;j++){
+      Fr4 lo,hi,d;
+      memcpy(lo.v,rows[p]+j*4,32);
+      memcpy(hi.v,rows[p]+(half+j)*4,32);
+      fr_sub(d,hi,lo);
+      fr_mul(d,d,rc);
+      fr_add(lo,lo,d);
+      memcpy(rows[p]+j*4,lo.v,32);
+    }
+  }
+}
+
+// bind every row HighToLow: out_rows (P, n/2)
+void frv_bind_rows(const u64* rows, i64 P, i64 n, const u64* r, u64* out){
+  Fr4 rc; memcpy(rc.v,r,32);
+  i64 half=n/2;
+  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
+  for(i64 p=0;p<P;p++){
+    for(i64 j=0;j<half;j++){
+      Fr4 lo,hi,d;
+      memcpy(lo.v,rows+(p*n+j)*4,32);
+      memcpy(hi.v,rows+(p*n+half+j)*4,32);
+      fr_sub(d,hi,lo);
+      fr_mul(d,d,rc);
+      fr_add(lo,lo,d);
+      memcpy(out+(p*half+j)*4,lo.v,32);
+    }
+  }
+}
+
+}  // extern "C"

@@ -185,21 +185,33 @@ static void mont_pow(Fp&r, const Fp&a, const Fp&e){
 
 extern "C" {
 
-// points: n * 64 bytes (x,y 32B LE canonical each); infinity = all-zero y&x
+// points: n * 64 bytes (x,y 32B LE canonical each) -> Montgomery-encoded
+// 64B/point buffer reusable across many msm_g1_pre calls (infinity stays
+// all-zero: mont(0) = 0).
+void msm_prep_points(const uint8_t* points, int64_t n, uint8_t* out) {
+  #pragma omp parallel for schedule(static)
+  for(int64_t i=0;i<n;i++){
+    Fp x,y,mx,my;
+    memcpy(x.v, points+i*64, 32);
+    memcpy(y.v, points+i*64+32, 32);
+    mont_mul(mx, x, R2);
+    mont_mul(my, y, R2);
+    memcpy(out+i*64, mx.v, 32);
+    memcpy(out+i*64+32, my.v, 32);
+  }
+}
+
+// prep: n * 64 bytes from msm_prep_points (Montgomery form).
 // scalars: n * 32 bytes LE; out: 64 bytes affine (canonical) + 1 inf flag
-void msm_g1(const uint8_t* points, const uint8_t* scalars, int64_t n,
-            int c, uint8_t* out, uint8_t* out_inf) {
+void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
+                int c, uint8_t* out, uint8_t* out_inf) {
   if(c<=0) c=8;
-  // load + Montgomery-encode points
+  const Fp* PX_ = (const Fp*)prep;  // interleaved [x0,y0,x1,y1,...]
   std::vector<Fp> PX(n), PY(n);
   std::vector<uint8_t> PINF(n);
   for(int64_t i=0;i<n;i++){
-    Fp x,y;
-    memcpy(x.v, points+i*64, 32);
-    memcpy(y.v, points+i*64+32, 32);
-    PINF[i] = is_zero(x)&&is_zero(y);
-    mont_mul(PX[i], x, R2);
-    mont_mul(PY[i], y, R2);
+    PX[i]=PX_[2*i]; PY[i]=PX_[2*i+1];
+    PINF[i] = is_zero(PX[i])&&is_zero(PY[i]);
   }
   int maxbits=0;
   for(int64_t i=0;i<n;i++){
@@ -264,6 +276,66 @@ void msm_g1(const uint8_t* points, const uint8_t* scalars, int64_t n,
   memcpy(out, ax.v, 32);
   memcpy(out+32, ay.v, 32);
   *out_inf=0;
+}
+
+// n independent scalar multiplications of ONE affine base point.
+// base: 64B canonical (x,y); scalars: n*32B LE; out: n*64B canonical affine
+// (all-zero = infinity). Backs SRS power generation (g * tau^i).
+void g1_scalar_muls(const uint8_t* base, const uint8_t* scalars, int64_t n,
+                    uint8_t* out) {
+  Fp bx,by,mx,my;
+  memcpy(bx.v, base, 32);
+  memcpy(by.v, base+32, 32);
+  mont_mul(mx, bx, R2);
+  mont_mul(my, by, R2);
+  Fp qm2=Q_MOD;
+  { u128 borrow=0; u64 two=2;
+    for(int i=0;i<4;i++){
+      u128 d=(u128)qm2.v[i]-(i==0?two:0)-borrow;
+      qm2.v[i]=(u64)d; borrow=(d>>64)&1;
+    } }
+  Fp one={{1,0,0,0}};
+  // fixed-base window table: T[w][d-1] = d * 16^w * base, so each scalar
+  // multiplication is just 64 table adds with no doublings.
+  static const int WC=64, WD=15;
+  std::vector<Pt> table((size_t)WC*WD);
+  {
+    Pt p0; p0.X=mx; p0.Y=my; p0.Z=R1;
+    for(int w=0;w<WC;w++){
+      Pt* row=&table[(size_t)w*WD];
+      row[0]=p0;
+      for(int d=1;d<WD;d++) pt_add(row[d],row[d-1],p0);
+      if(w+1<WC){ for(int k=0;k<4;k++) pt_double(p0,p0); }
+    }
+  }
+  #pragma omp parallel for schedule(dynamic,16)
+  for(int64_t i=0;i<n;i++){
+    const uint8_t* s=scalars+i*32;
+    Pt acc; pt_set_inf(acc);
+    for(int w=0;w<WC;w++){
+      uint32_t digit=(s[w/2]>>((w&1)*4))&0xF;
+      if(digit) pt_add(acc,acc,table[(size_t)w*WD+digit-1]);
+    }
+    if(pt_is_inf(acc)){ memset(out+i*64,0,64); continue; }
+    Fp zinv; mont_pow(zinv,acc.Z,qm2);
+    Fp z2; mont_sqr(z2,zinv);
+    Fp z3; mont_mul(z3,z2,zinv);
+    Fp ax,ay;
+    mont_mul(ax,acc.X,z2);
+    mont_mul(ay,acc.Y,z3);
+    mont_mul(ax,ax,one);
+    mont_mul(ay,ay,one);
+    memcpy(out+i*64, ax.v, 32);
+    memcpy(out+i*64+32, ay.v, 32);
+  }
+}
+
+// Single-shot API (canonical points in): prep internally, then run.
+void msm_g1(const uint8_t* points, const uint8_t* scalars, int64_t n,
+            int c, uint8_t* out, uint8_t* out_inf) {
+  std::vector<uint8_t> prep((size_t)n*64);
+  msm_prep_points(points, n, prep.data());
+  msm_g1_pre(prep.data(), scalars, n, c, out, out_inf);
 }
 
 }  // extern "C"

@@ -20,8 +20,13 @@ def build_model(vocab, seq, dim, blocks, scale, rng):
     from jolt_atlas_tpu.frontend import ModelBuilder
     from jolt_atlas_tpu.frontend.quantize import quantize_tensor
 
+    vp = 1
+    while vp < vocab:
+        vp *= 2
     b = ModelBuilder(scale=scale)
-    emb = b.constant(quantize_tensor(rng.normal(size=(vocab, dim)) * 0.3, scale))
+    embw = np.zeros((vp, dim))
+    embw[:vocab] = rng.normal(size=(vocab, dim)) * 0.3
+    emb = b.constant(quantize_tensor(embw, scale))
     pos = b.constant(quantize_tensor(rng.normal(size=(seq, dim)) * 0.1, scale))
     tok = b.input([seq])
     x = b.add(b.gather(emb, tok), pos)
@@ -42,8 +47,10 @@ def build_model(vocab, seq, dim, blocks, scale, rng):
         w1 = b.constant(quantize_tensor(rng.normal(size=(dim, 2 * dim)) * 0.3, scale))
         w2 = b.constant(quantize_tensor(rng.normal(size=(2 * dim, dim)) * 0.3, scale))
         x = b.add(x, b.matmul(b.tanh(b.matmul(x, w1)), w2))
-    # LM head
-    wout = b.constant(quantize_tensor(rng.normal(size=(dim, vocab)) * 0.3, scale))
+    # LM head (vocab zero-padded to a power of two; generation masks the pad)
+    woutw = np.zeros((dim, vp))
+    woutw[:, :vocab] = rng.normal(size=(dim, vocab)) * 0.3
+    wout = b.constant(quantize_tensor(woutw, scale))
     logits = b.matmul(x, wout)
     b.output(logits)
     return b.build()
@@ -77,7 +84,7 @@ def main():
     toks = list(rng.integers(0, args.vocab, size=args.seq))
     for _ in range(args.gen):
         logits = model.forward([np.array(toks[-args.seq:], dtype=np.int32)])[0]
-        toks.append(int(np.argmax(logits[-1])))
+        toks.append(int(np.argmax(logits[-1][: args.vocab])))
     print("greedy tokens:", toks)
 
     print("preprocessing (SRS)...")

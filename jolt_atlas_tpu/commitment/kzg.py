@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from ..field.constants import FR_MODULUS
 from ..field.scalar import Fr
 from ..curve.msm import msm
@@ -27,17 +29,34 @@ class KZGSRS:
         self.g1_powers = g1_powers
         self.g2 = g2
         self.beta_g2 = beta_g2
+        self._prepared = None
+        self._prepared_failed = False
+
+    def prepared_bases(self):
+        """Native Montgomery-encoded base buffer, built once and reused by
+        every commitment/opening MSM (None when the native lib is absent)."""
+        if self._prepared is None and not self._prepared_failed:
+            from ..curve import native
+            if native.available():
+                self._prepared = native.PreparedBases(self.g1_powers)
+            else:
+                self._prepared_failed = True
+        return self._prepared
 
     @classmethod
     def setup(cls, max_degree: int, seed: bytes = b"jolt-atlas-tpu-srs") -> "KZGSRS":
         tau = int.from_bytes(hashlib.blake2b(seed, digest_size=32).digest(),
                              "little") % FR_MODULUS
         g = g1_generator()
-        powers = []
+        scalars = []
         acc = 1
         for _ in range(max_degree + 1):
-            powers.append(g * acc)
+            scalars.append(acc)
             acc = acc * tau % FR_MODULUS
+        from ..curve.native import scalar_muls_native
+        powers = scalar_muls_native(g, scalars)
+        if powers is None:
+            powers = [g * s for s in scalars]
         h = g2_generator()
         return cls(powers, h, h * tau)
 
@@ -66,6 +85,12 @@ class KZGSRS:
 
 def kzg_commit(srs: KZGSRS, coeffs) -> G1:
     """Commit to a coefficient vector (list of Fr or ints / numpy array)."""
+    prep = srs.prepared_bases()
+    if prep is not None:
+        if isinstance(coeffs, np.ndarray) and coeffs.dtype.kind in "iu":
+            return prep.msm(coeffs)  # vectorized packing, no Fr boxing
+        scalars = [c.v if isinstance(c, Fr) else int(c) for c in coeffs]
+        return prep.msm(scalars)
     scalars = [c.v if isinstance(c, Fr) else int(c) for c in coeffs]
     return msm(srs.g1_powers[: len(scalars)], scalars)
 
@@ -83,6 +108,9 @@ def kzg_open_no_rem(srs: KZGSRS, coeffs: list[Fr], u: Fr) -> G1:
     for i in range(n - 1, 0, -1):
         acc = (coeffs[i].v + acc * uv) % FR_MODULUS if i < n - 1 else coeffs[i].v
         q[i - 1] = acc
+    prep = srs.prepared_bases()
+    if prep is not None:
+        return prep.msm(q)
     return msm(srs.g1_powers[: n - 1], q)
 
 

@@ -2,6 +2,11 @@
 
 Auto-compiles the shared library on first use if missing (g++ -O3). Falls
 back cleanly to the Python Pippenger when no compiler is available.
+
+PreparedBases caches the Montgomery-encoded point buffer so repeated MSMs
+over the same bases (= every witness commitment against the SRS powers) skip
+all per-call point conversion — the same strategy as the reference's
+arkworks `batch_normalize` + fixed-base reuse (joltworks/src/msm/mod.rs).
 """
 
 from __future__ import annotations
@@ -12,10 +17,14 @@ import subprocess
 
 import numpy as np
 
+from ..field.constants import FR_MODULUS
 from .points import G1
 
 _LIB = None
 _TRIED = False
+
+# FR_MODULUS as 4 little-endian u64 limbs (for vectorized negative folding)
+_R_LIMBS = [(FR_MODULUS >> (64 * i)) & ((1 << 64) - 1) for i in range(4)]
 
 
 def _repo_root() -> str:
@@ -31,13 +40,18 @@ def _load():
     csrc = os.path.join(_repo_root(), "csrc")
     so = os.path.join(csrc, "libmsm.so")
     src = os.path.join(csrc, "msm.cpp")
-    if not os.path.exists(so) and os.path.exists(src):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-                 "-o", so, src], check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
+    if os.path.exists(src):
+        need = (not os.path.exists(so)
+                or os.path.getmtime(src) > os.path.getmtime(so))
+        if need:
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-o", so, src],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                if not os.path.exists(so):
+                    return None
     if not os.path.exists(so):
         return None
     try:
@@ -46,14 +60,117 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p]
         lib.msm_g1.restype = None
+        lib.msm_prep_points.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+        lib.msm_prep_points.restype = None
+        lib.msm_g1_pre.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p]
+        lib.msm_g1_pre.restype = None
+        lib.g1_scalar_muls.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+        lib.g1_scalar_muls.restype = None
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def pack_points(bases: list[G1]) -> bytes:
+    """Canonical 64B/point LE buffer (infinity = all-zero)."""
+    pts = bytearray(64 * len(bases))
+    for i, b in enumerate(bases):
+        if not b.infinity:
+            pts[i * 64: i * 64 + 32] = b.x.to_bytes(32, "little")
+            pts[i * 64 + 32: i * 64 + 64] = b.y.to_bytes(32, "little")
+    return bytes(pts)
+
+
+def pack_scalars(scalars) -> bytes:
+    """n*32B LE scalar buffer, negatives folded mod r.
+
+    numpy integer arrays are packed vectorized (the common witness case);
+    anything else falls back to per-element int conversion.
+    """
+    if isinstance(scalars, np.ndarray) and scalars.dtype.kind in "iu":
+        vals = scalars.astype(np.int64, copy=False).ravel()
+        n = vals.size
+        limbs = np.zeros((n, 4), dtype=np.uint64)
+        pos = vals >= 0
+        limbs[pos, 0] = vals[pos].astype(np.uint64)
+        if not pos.all():
+            neg = ~pos
+            mag = (-vals[neg]).astype(np.uint64)
+            # r - |s|: |s| < 2^63 < r_limb0-carry headroom (r0 > 2^62), so
+            # only limb 0 borrows against r0 when |s| > r0 — never happens
+            # since r0 = 0x43E1F593F0000001 > 2^62 > |s|.
+            limbs[neg, 0] = np.uint64(_R_LIMBS[0]) - mag
+            limbs[neg, 1] = np.uint64(_R_LIMBS[1])
+            limbs[neg, 2] = np.uint64(_R_LIMBS[2])
+            limbs[neg, 3] = np.uint64(_R_LIMBS[3])
+        return limbs.tobytes()
+    out = bytearray(32 * len(scalars))
+    for i, s in enumerate(scalars):
+        v = int(s) % FR_MODULUS
+        out[i * 32: i * 32 + 32] = v.to_bytes(32, "little")
+    return bytes(out)
+
+
+class PreparedBases:
+    """Montgomery-encoded point buffer reusable across MSM calls."""
+
+    def __init__(self, bases: list[G1]):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native MSM library unavailable")
+        self.n = len(bases)
+        raw = pack_points(bases)
+        self.buf = ctypes.create_string_buffer(64 * self.n)
+        lib.msm_prep_points(raw, self.n, self.buf)
+
+    def msm(self, scalars, n: int | None = None, c: int = 0) -> G1:
+        """MSM of scalars against the first len(scalars) prepared bases."""
+        lib = _load()
+        count = len(scalars) if n is None else n
+        count = min(count, self.n)
+        if count == 0:
+            return G1.identity()
+        scs = pack_scalars(scalars[:count])
+        out_buf = ctypes.create_string_buffer(64)
+        inf_buf = ctypes.create_string_buffer(1)
+        lib.msm_g1_pre(self.buf, scs, count, c, out_buf, inf_buf)
+        return _decode_point(out_buf, inf_buf)
+
+
+def _decode_point(out_buf, inf_buf) -> G1:
+    if inf_buf.raw[0]:
+        return G1.identity()
+    x = int.from_bytes(out_buf.raw[:32], "little")
+    y = int.from_bytes(out_buf.raw[32:64], "little")
+    return G1(x, y)
+
+
+def scalar_muls_native(base: G1, scalars: list[int]) -> list[G1] | None:
+    """[s * base for s in scalars] via the native engine (None if absent)."""
+    lib = _load()
+    if lib is None or base.infinity:
+        return None
+    n = len(scalars)
+    b = base.x.to_bytes(32, "little") + base.y.to_bytes(32, "little")
+    scs = pack_scalars(scalars)
+    out = ctypes.create_string_buffer(64 * n)
+    lib.g1_scalar_muls(b, scs, n, out)
+    pts = []
+    raw = out.raw
+    for i in range(n):
+        x = int.from_bytes(raw[i * 64: i * 64 + 32], "little")
+        y = int.from_bytes(raw[i * 64 + 32: i * 64 + 64], "little")
+        pts.append(G1.identity() if x == 0 and y == 0 else G1(x, y))
+    return pts
 
 
 def msm_native(bases: list[G1], scalars, c: int = 0) -> G1 | None:
@@ -64,23 +181,9 @@ def msm_native(bases: list[G1], scalars, c: int = 0) -> G1 | None:
     n = min(len(bases), len(scalars) if hasattr(scalars, "__len__") else 0)
     if n == 0:
         return G1.identity()
-    from ..field.constants import FR_MODULUS
-    pts = bytearray(64 * n)
-    scs = bytearray(32 * n)
-    for i in range(n):
-        b = bases[i]
-        if not b.infinity:
-            pts[i * 64: i * 64 + 32] = b.x.to_bytes(32, "little")
-            pts[i * 64 + 32: i * 64 + 64] = b.y.to_bytes(32, "little")
-        s = int(scalars[i]) % FR_MODULUS
-        scs[i * 32: i * 32 + 32] = s.to_bytes(32, "little")
-    out = bytes(64)
-    out_inf = bytes(1)
+    pts = pack_points(bases[:n])
+    scs = pack_scalars(scalars[:n])
     out_buf = ctypes.create_string_buffer(64)
     inf_buf = ctypes.create_string_buffer(1)
-    lib.msm_g1(bytes(pts), bytes(scs), n, c, out_buf, inf_buf)
-    if inf_buf.raw[0]:
-        return G1.identity()
-    x = int.from_bytes(out_buf.raw[:32], "little")
-    y = int.from_bytes(out_buf.raw[32:64], "little")
-    return G1(x, y)
+    lib.msm_g1(pts, scs, n, c, out_buf, inf_buf)
+    return _decode_point(out_buf, inf_buf)

@@ -1,0 +1,347 @@
+"""Native Fr vector arrays: (n, 4) uint64 Montgomery limbs + C++ kernels.
+
+The host-side production representation of field-element vectors used by the
+protocol layer (sumcheck round evaluation, binding, eq tables, RLC). Plays
+the role of arkworks' `Vec<ark_bn254::Fr>` in the reference (joltworks uses
+ark Montgomery backend throughout, e.g. subprotocols/sumcheck.rs). Falls
+back to None when the C++ library (csrc/frvec.cpp) is unavailable — callers
+then stay on the object-int path in field/vec.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .constants import FR_MODULUS
+from .scalar import Fr
+
+_LIB = None
+_TRIED = False
+_U64 = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_I64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    csrc = os.path.join(_repo_root(), "csrc")
+    so = os.path.join(csrc, "libfrvec.so")
+    src = os.path.join(csrc, "frvec.cpp")
+    if os.path.exists(src):
+        need = (not os.path.exists(so)
+                or os.path.getmtime(src) > os.path.getmtime(so))
+        if need:
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-o", so, src],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                if not os.path.exists(so):
+                    return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        for name, args in [
+            ("frv_from_i64", [_I64, _U64, ctypes.c_int64]),
+            ("frv_encode", [_U64, _U64, ctypes.c_int64]),
+            ("frv_decode", [_U64, _U64, ctypes.c_int64]),
+            ("frv_mul", [_U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_add", [_U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_sub", [_U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_scale", [_U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_axpy", [_U64, _U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_sum", [_U64, ctypes.c_int64, _U64]),
+            ("frv_dot", [_U64, _U64, ctypes.c_int64, _U64]),
+            ("frv_dot3", [_U64, _U64, _U64, ctypes.c_int64, _U64]),
+            ("frv_bind", [_U64, _U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_eval_ladder", [_U64, _U64, ctypes.c_int64, ctypes.c_int,
+                                 _U64]),
+            ("frv_terms_round", [_U64, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int, _U64, _I64, _I64,
+                                 ctypes.c_int64, _U64]),
+            ("frv_bind_rows", [_U64, ctypes.c_int64, ctypes.c_int64, _U64,
+                               _U64]),
+        ]:
+            fn = getattr(lib, name)
+            fn.argtypes = args
+            fn.restype = None
+        pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))
+        for name, args in [
+            ("frv_terms_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int, _U64, _I64, _I64,
+                                   ctypes.c_int64, _U64]),
+            ("frv_bind_rows_p", [pp, ctypes.c_int64, ctypes.c_int64, _U64]),
+        ]:
+            fn = getattr(lib, name)
+            fn.argtypes = args
+            fn.restype = None
+        _LIB = lib
+    except (OSError, AttributeError):
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c(a: np.ndarray) -> np.ndarray:
+    """Contiguity guard for views handed to the C kernels."""
+    return np.ascontiguousarray(a)
+
+
+def _fr_limbs(x: Fr) -> np.ndarray:
+    """Single Fr -> (1,4) canonical limbs -> Montgomery."""
+    v = x.v
+    out = np.array([[(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]],
+                   dtype=np.uint64)
+    enc = np.empty_like(out)
+    _load().frv_encode(out, enc, 1)
+    return enc
+
+
+_SCALAR_CACHE: dict[int, np.ndarray] = {}
+
+
+def _fr_limbs_cached(x: Fr) -> np.ndarray:
+    got = _SCALAR_CACHE.get(x.v)
+    if got is None:
+        if len(_SCALAR_CACHE) > 4096:
+            _SCALAR_CACHE.clear()
+        got = _fr_limbs(x)
+        _SCALAR_CACHE[x.v] = got
+    return got
+
+
+class FrArray:
+    """1-D vector of Fr elements in Montgomery limb form, shape (n, 4)."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d: np.ndarray):
+        self.d = d
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def zeros(cls, n: int) -> "FrArray":
+        return cls(np.zeros((n, 4), dtype=np.uint64))
+
+    @classmethod
+    def from_i64(cls, ints) -> "FrArray":
+        a = np.ascontiguousarray(np.asarray(ints).ravel(), dtype=np.int64)
+        out = np.empty((a.size, 4), dtype=np.uint64)
+        _load().frv_from_i64(a, out, a.size)
+        return cls(out)
+
+    @classmethod
+    def from_object(cls, obj) -> "FrArray":
+        """Object array / iterable of canonical Python ints -> Montgomery."""
+        flat = np.asarray(obj, dtype=object).ravel()
+        n = flat.size
+        raw = np.frombuffer(
+            b"".join(int(x).to_bytes(32, "little") for x in flat),
+            dtype=np.uint64).reshape(n, 4).copy()
+        out = np.empty((n, 4), dtype=np.uint64)
+        _load().frv_encode(raw, out, n)
+        return cls(out)
+
+    @classmethod
+    def from_fr_list(cls, elems) -> "FrArray":
+        return cls.from_object([e.v for e in elems])
+
+    @classmethod
+    def full(cls, n: int, x: Fr) -> "FrArray":
+        return cls(np.broadcast_to(_fr_limbs_cached(x), (n, 4)).copy())
+
+    # -- conversion out ----------------------------------------------------
+    def to_object(self) -> np.ndarray:
+        d = _c(self.d)
+        n = len(d)
+        can = np.empty((n, 4), dtype=np.uint64)
+        _load().frv_decode(d, can, n)
+        b = can.tobytes()
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = int.from_bytes(b[32 * i: 32 * i + 32], "little")
+        return out
+
+    def to_fr_list(self) -> list[Fr]:
+        return [Fr(int(x)) for x in self.to_object()]
+
+    def item(self, i: int) -> Fr:
+        d = _c(self.d[i: i + 1])
+        can = np.empty((1, 4), dtype=np.uint64)
+        _load().frv_decode(d, can, 1)
+        v = 0
+        for k in range(3, -1, -1):
+            v = (v << 64) | int(can[0, k])
+        return Fr(v)
+
+    # -- container protocol ------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.d)
+
+    def __iter__(self):
+        return iter(self.to_fr_list())
+
+    def copy(self) -> "FrArray":
+        return FrArray(self.d.copy())
+
+    def reshape(self, *shape) -> "FrArray":
+        assert np.prod(shape) == len(self.d) or -1 in shape
+        return self  # logical 1-D; reshape is a no-op for flat callers
+
+    def __getitem__(self, idx) -> "FrArray":
+        if isinstance(idx, (int, np.integer)):
+            return self.item(int(idx))
+        return FrArray(self.d[idx])
+
+    def __setitem__(self, idx, value) -> None:
+        if isinstance(value, FrArray):
+            self.d[idx] = value.d
+        elif isinstance(value, Fr):
+            self.d[idx] = _fr_limbs_cached(value)[0]
+        else:
+            raise TypeError(f"FrArray setitem: {type(value)}")
+
+    # -- arithmetic --------------------------------------------------------
+    def _bin(self, other, op) -> "FrArray":
+        a, b = _c(self.d), _c(other.d)
+        assert len(a) == len(b), (len(a), len(b))
+        out = np.empty_like(a)
+        op(a, b, out, len(a))
+        return FrArray(out)
+
+    def add(self, other) -> "FrArray":
+        return self._bin(other, _load().frv_add)
+
+    def sub(self, other) -> "FrArray":
+        return self._bin(other, _load().frv_sub)
+
+    def mul(self, other) -> "FrArray":
+        return self._bin(other, _load().frv_mul)
+
+    def scale(self, s: Fr) -> "FrArray":
+        a = _c(self.d)
+        out = np.empty_like(a)
+        _load().frv_scale(a, _fr_limbs_cached(s), out,
+                          len(a))
+        return FrArray(out)
+
+    def axpy_inplace(self, s: Fr, b: "FrArray", n: int | None = None) -> None:
+        """self[:n] += s * b[:n] in one fused pass (RLC accumulation)."""
+        count = len(b) if n is None else n
+        a = self.d[:count]
+        assert a.flags["C_CONTIGUOUS"]
+        _load().frv_axpy(a, _fr_limbs_cached(s), _c(b.d[:count]), a, count)
+
+    def sum(self) -> Fr:
+        a = _c(self.d)
+        out = np.zeros((1, 4), dtype=np.uint64)
+        _load().frv_sum(a, len(a), out)
+        return FrArray(out).item(0)
+
+    def dot(self, other) -> Fr:
+        a, b = _c(self.d), _c(other.d)
+        assert len(a) == len(b)
+        out = np.zeros((1, 4), dtype=np.uint64)
+        _load().frv_dot(a, b, len(a), out)
+        return FrArray(out).item(0)
+
+    def bind_halves(self, lo_hi_split: int, r: Fr,
+                    interleaved: bool) -> "FrArray":
+        """out = lo + r*(hi - lo) with (lo,hi) = halves or even/odd pairs."""
+        if interleaved:
+            lo, hi = _c(self.d[0::2]), _c(self.d[1::2])
+        else:
+            lo, hi = _c(self.d[:lo_hi_split]), _c(self.d[lo_hi_split:])
+        out = np.empty_like(lo)
+        _load().frv_bind(lo, hi, _fr_limbs_cached(r),
+                         out, len(lo))
+        return FrArray(out)
+
+    def eval_ladder(self, degree: int, interleaved: bool) -> list["FrArray"]:
+        """[P(0), P(2), ..., P(degree)] per pair — the sumcheck round evals."""
+        n = len(self.d)
+        if interleaved:
+            lo, hi = _c(self.d[0::2]), _c(self.d[1::2])
+        else:
+            lo, hi = _c(self.d[: n // 2]), _c(self.d[n // 2:])
+        half = len(lo)
+        nevals = max(1, degree)  # P(0) plus P(2)..P(degree)
+        outs = np.empty((nevals, half, 4), dtype=np.uint64)
+        _load().frv_eval_ladder(lo, hi, half, nevals, outs)
+        return [FrArray(outs[t]) for t in range(nevals)]
+
+
+class FusedInstance:
+    """A sumcheck instance's rows (eq + polys) + weighted product terms,
+    evaluated and bound with one C call per round (HighToLow binding).
+
+    terms: list of (Fr coeff, [row indices]); rows: list of FrArray, equal
+    lengths. The round message returns the ladder sums [P(0), P(2), ...,
+    P(d)] for degree d.
+    """
+
+    MAXE = 20
+    MAXP = 48
+
+    def __init__(self, rows: list[FrArray], terms):
+        assert len(rows) <= self.MAXP, len(rows)
+        n = len(rows[0])
+        for rw in rows:
+            assert len(rw) == n
+        self.n = n
+        self.P = len(rows)
+        # zero-copy: keep each (already contiguous) row buffer; bind in place.
+        # A row buffer may be shared with the caller's FrArray — binding
+        # mutates it, so callers hand over ownership (clone first if needed).
+        self._rows = [_c(rw.d) for rw in rows]
+        self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+            *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+              for rw in self._rows])
+        self.coeffs = np.ascontiguousarray(
+            np.concatenate([_fr_limbs_cached(c) for c, _ in terms]))
+        offs = [0]
+        fidx = []
+        for _, factors in terms:
+            fidx.extend(factors)
+            offs.append(len(fidx))
+        self.offsets = np.asarray(offs, dtype=np.int64)
+        self.fidx = np.asarray(fidx, dtype=np.int64)
+        self.T = len(terms)
+
+    def round_points(self, degree: int) -> list[Fr]:
+        nevals = max(1, degree)
+        assert nevals <= self.MAXE
+        out = np.zeros((nevals, 4), dtype=np.uint64)
+        _load().frv_terms_round_p(self._ptrs, self.P, self.n, nevals,
+                                  self.coeffs, self.offsets, self.fidx,
+                                  self.T, out)
+        fa = FrArray(out)
+        return [fa.item(t) for t in range(nevals)]
+
+    def bind(self, r: Fr) -> None:
+        _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
+                                _fr_limbs_cached(r))
+        self.n //= 2
+
+    def row_value(self, p: int) -> Fr:
+        assert self.n == 1
+        return FrArray(self._rows[p][:1]).item(0)
+
+    def row_array(self, p: int) -> FrArray:
+        return FrArray(self._rows[p][: self.n].copy())

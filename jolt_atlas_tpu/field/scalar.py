@@ -94,6 +94,9 @@ class Fr:
     def __hash__(self) -> int:
         return hash(self.v)
 
+    def __int__(self) -> int:
+        return self.v
+
     def is_zero(self) -> bool:
         return self.v == 0
 

@@ -132,6 +132,14 @@ class ModelBuilder:
     # -- structure ---------------------------------------------------------
     def einsum(self, equation: str, operands: list[int], scale=None) -> int:
         s = self.scale if scale is None else scale
+        for w in operands:
+            for d in self.dims(w):
+                if d & (d - 1):
+                    raise ValueError(
+                        f"einsum operand dims {self.dims(w)} must all be "
+                        "powers of two — zero-pad the tensor (the ONNX "
+                        "loader does this automatically; with ModelBuilder "
+                        "pad constants/inputs yourself)")
         out_dims = _einsum_output_dims(equation, [self.dims(w) for w in operands])
         return self._insert(OPS.Einsum(equation=equation, scale=s), operands, out_dims)
 
@@ -164,9 +172,27 @@ class ModelBuilder:
 
     def gather(self, dict_wire, indices_wire, axis: int = 0) -> int:
         ddims = self.dims(dict_wire)
+        dict_len = ddims[0]
+        vp = 1
+        while vp < dict_len:
+            vp *= 2
+        if vp != dict_len:
+            # the one-hot read-address protocol needs a pow2 dictionary
+            # height; zero-pad constants (reference pads via RunArgs, same
+            # as our ONNX loader, atlas-onnx-tracer/src/graph/mod.rs padding)
+            node = self.nodes[dict_wire]
+            if not isinstance(node.operator, OPS.Constant):
+                raise ValueError(
+                    f"gather dictionary height {dict_len} must be a power of "
+                    "two (non-constant dictionaries are not auto-padded)")
+            arr = node.operator.array
+            padded = np.zeros((vp,) + arr.shape[1:], dtype=arr.dtype)
+            padded[:dict_len] = arr
+            dict_wire = self.constant(padded)
+            ddims = self.dims(dict_wire)
+            dict_len = vp
         idims = self.dims(indices_wire)
         out_dims = tuple(idims) + tuple(ddims[1:])
-        dict_len = ddims[0]
         op_cls = OPS.GatherSmall if dict_len <= (1 << 16) else OPS.GatherLarge
         return self._insert(op_cls(axis=axis, dict_len=dict_len),
                             [dict_wire, indices_wire], out_dims)

@@ -12,13 +12,18 @@ from ..field import vec
 from ..field.scalar import Fr
 
 
-def eq_evals(r: list[Fr], scale: Fr | None = None) -> np.ndarray:
-    """Table of eq(r, x) for all x in {0,1}^n as an object-int array."""
-    table = np.array([scale.v if scale is not None else 1], dtype=object)
+def eq_evals(r: list[Fr], scale: Fr | None = None):
+    """Table of eq(r, x) for all x in {0,1}^n (FrArray on the native path,
+    object-int array on the fallback)."""
+    table = vec.full(1, scale if scale is not None else Fr.one())
     for rj in r:  # r[0] first; each new variable becomes the LSB (interleave)
         hi = vec.vscale(table, rj)
         lo = vec.vsub(table, hi)  # table * (1 - r_j)
-        out = np.empty(2 * len(table), dtype=object)
+        if isinstance(table, np.ndarray):
+            out = np.empty(2 * len(table), dtype=object)
+        else:
+            from ..field.frvec import FrArray
+            out = FrArray.zeros(2 * len(table))
         out[0::2] = lo
         out[1::2] = hi
         table = out

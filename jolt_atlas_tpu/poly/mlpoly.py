@@ -47,7 +47,7 @@ class MLPoly:
         else:
             assert fvec is not None
             self.ints = None
-            self.fvec = fvec
+            self.fvec = vec.as_native(fvec)
             self._len = len(fvec)
 
     # -- basics ------------------------------------------------------------
@@ -67,8 +67,8 @@ class MLPoly:
             return MLPoly(ints=self.ints.copy())
         return MLPoly(fvec=self.fvec.copy())
 
-    def to_field(self) -> np.ndarray:
-        """Canonical-int object array of the coefficients, shape (n,)."""
+    def to_field(self):
+        """Field vector of the coefficients (FrArray on the native path)."""
         if self.fvec is None:
             self.fvec = vec.from_ints(self.ints)
         return self.fvec
@@ -82,23 +82,28 @@ class MLPoly:
         arr = self.to_field()
         n = len(arr)
         assert n > 1
-        if order == BindingOrder.HighToLow:
-            lo, hi = arr[: n // 2], arr[n // 2 :]
+        from ..field.frvec import FrArray
+        if isinstance(arr, FrArray):
+            self.fvec = arr.bind_halves(
+                n // 2, r, interleaved=(order == BindingOrder.LowToHigh))
         else:
-            lo, hi = arr[0::2], arr[1::2]
-        self.fvec = vec.vadd(lo, vec.vscale(vec.vsub(hi, lo), r))
+            if order == BindingOrder.HighToLow:
+                lo, hi = arr[: n // 2], arr[n // 2 :]
+            else:
+                lo, hi = arr[0::2], arr[1::2]
+            self.fvec = vec.vadd(lo, vec.vscale(vec.vsub(hi, lo), r))
         self.ints = None
         self._len = n // 2
 
     def final_claim(self) -> Fr:
         assert self._len == 1
         if self.fvec is not None:
-            return Fr(int(self.fvec[0]))
+            return vec.elem(self.fvec, 0)
         return Fr(int(self.ints[0]))
 
     def get_coeff(self, i: int) -> Fr:
         if self.fvec is not None:
-            return Fr(int(self.fvec[i]))
+            return vec.elem(self.fvec, i)
         return Fr(int(self.ints[i]))
 
     # -- evaluation --------------------------------------------------------
@@ -124,6 +129,10 @@ class MLPoly:
         """
         arr = self.to_field()
         n = len(arr)
+        from ..field.frvec import FrArray
+        if isinstance(arr, FrArray):
+            return arr.eval_ladder(
+                degree, interleaved=(order == BindingOrder.LowToHigh))
         if order == BindingOrder.HighToLow:
             lo, hi = arr[: n // 2], arr[n // 2 :]
         else:

@@ -80,18 +80,30 @@ class _GroupReductionProver(SumcheckInstanceProver):
         self.rlc_fvec = None              # kept for the joint materialization
 
     def prepare(self, poly_map):
+        from ..field.frvec import FrArray
         n = 1 << len(self.point)
         acc = vec.zeros(n)
         for j, p in self.members:
             f = poly_map[p.poly_id].to_field()
+            if isinstance(acc, FrArray) and isinstance(f, FrArray):
+                acc.axpy_inplace(self.gamma_powers[j], f)
+                continue
             contrib = vec.vscale(f, self.gamma_powers[j])
             if len(f) < n:
                 acc[: len(f)] = vec.vadd(acc[: len(f)], contrib)
             else:
                 acc = vec.vadd(acc, contrib)
         self.rlc_fvec = acc
-        self.poly = MLPoly(fvec=acc.copy())
-        self.eq = MLPoly(fvec=eq_evals(self.point))
+        self._fused = None
+        if vec.native_available():
+            from ..field.frvec import FrArray, FusedInstance
+            eq = eq_evals(self.point)
+            if isinstance(acc, FrArray) and isinstance(eq, FrArray):
+                self._fused = FusedInstance([eq, acc.copy()],
+                                            [(Fr.one(), [0, 1])])
+        if self._fused is None:
+            self.poly = MLPoly(fvec=acc.copy())
+            self.eq = MLPoly(fvec=eq_evals(self.point))
 
     def num_rounds(self) -> int:
         return len(self.point)
@@ -103,16 +115,24 @@ class _GroupReductionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
+        if self._fused is not None:
+            return UniPoly.from_evals_and_hint(
+                previous_claim, self._fused.round_points(2))
         e_eq = self.eq.sumcheck_evals(2, BindingOrder.HighToLow)
         e_p = self.poly.sumcheck_evals(2, BindingOrder.HighToLow)
         points = [vec.vsum(vec.vmul(e_eq[t], e_p[t])) for t in range(2)]
         return UniPoly.from_evals_and_hint(previous_claim, points)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
+        if self._fused is not None:
+            self._fused.bind(r)
+            return
         self.eq.bind(r, BindingOrder.HighToLow)
         self.poly.bind(r, BindingOrder.HighToLow)
 
     def final_poly_claim(self) -> Fr:
+        if self._fused is not None:
+            return self._fused.row_value(1)
         return self.poly.final_claim()
 
 
@@ -189,9 +209,14 @@ class ProverOpeningAccumulator:
         group_claims = [inst.final_poly_claim() for inst in instances]
         transcript.append_scalars(group_claims)
         delta_powers = transcript.challenge_scalar_powers(len(group_claims))
+        from ..field.frvec import FrArray
         max_len = 1 << len(r_sumcheck)
         joint = vec.zeros(max_len)
         for delta, inst in zip(delta_powers, instances):
+            if isinstance(joint, FrArray) and isinstance(inst.rlc_fvec,
+                                                         FrArray):
+                joint.axpy_inplace(delta, inst.rlc_fvec)
+                continue
             contrib = vec.vscale(inst.rlc_fvec, delta)
             n = len(contrib)
             joint[:n] = vec.vadd(joint[:n], contrib)

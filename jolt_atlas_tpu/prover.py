@@ -21,6 +21,7 @@ from .proof import ONNXProof
 from .subprotocols.eval_reduction import prove_eval_reduction
 from .transcripts import Blake2bTranscript
 from .commitment.hyperkzg import HyperKZG
+from .commitment.kzg import kzg_commit
 from .curve.msm import msm
 from .utils.profiling import span
 from .zkops import ops as ZOPS
@@ -90,8 +91,7 @@ class AtlasProver:
         with span("commit"):
             for pid in sorted(poly_map):
                 scalars = poly_map[pid].ints
-                commitments[pid] = msm(self.pp.srs.g1_powers[: len(scalars)],
-                                       scalars)
+                commitments[pid] = kzg_commit(self.pp.srs, scalars)
                 transcript.append_point(commitments[pid])
 
         # --- output claims ---

@@ -11,10 +11,11 @@ from ..field import vec
 from ..field.scalar import Fr
 from ..poly.mlpoly import BindingOrder, MLPoly
 from ..poly.unipoly import UniPoly
-from .sumcheck import SumcheckInstanceProver, SumcheckInstanceVerifier
+from .sumcheck import (RowsInstance, SumcheckInstanceProver,
+                       SumcheckInstanceVerifier)
 
 
-class ProductSumcheckProver(SumcheckInstanceProver):
+class ProductSumcheckProver(RowsInstance, SumcheckInstanceProver):
     """Proves sum_x prod_k polys[k](x) = input claim; degree = len(polys)."""
 
     def __init__(self, polys: list[MLPoly], claim: Fr,
@@ -26,6 +27,11 @@ class ProductSumcheckProver(SumcheckInstanceProver):
         self.claim = claim
         self.order = order
         self._rounds = polys[0].num_vars
+        if order == BindingOrder.HighToLow:
+            self.setup_rows(polys, [(Fr.one(), list(range(len(polys))))],
+                            max(len(polys), 1))
+        else:
+            self._rows_fused = None  # LowToHigh: legacy path only
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -37,6 +43,8 @@ class ProductSumcheckProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
+        if self._rows_fused is not None:
+            return self.rows_message(previous_claim)
         d = self.degree()
         evals_per_poly = [p.sumcheck_evals(d, self.order) for p in self.polys]
         points: list[Fr] = []
@@ -48,10 +56,16 @@ class ProductSumcheckProver(SumcheckInstanceProver):
         return UniPoly.from_evals_and_hint(previous_claim, points)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
+        if self._rows_fused is not None:
+            self._rows_fused.bind(r)
+            return
         for p in self.polys:
             p.bind(r, self.order)
 
     def final_poly_claims(self) -> list[Fr]:
+        if self._rows_fused is not None:
+            return [self._rows_fused.row_value(i)
+                    for i in range(len(self.polys))]
         return [p.final_claim() for p in self.polys]
 
 

@@ -30,7 +30,8 @@ from ..ids import CommittedPoly, OpeningId, SumcheckId
 from ..poly.eq import eq_evals, eq_eval_scalar
 from ..poly.mlpoly import BindingOrder, MLPoly
 from ..poly.unipoly import UniPoly
-from .sumcheck import SumcheckInstanceProver, SumcheckInstanceVerifier
+from .sumcheck import (RowsInstance, SumcheckInstanceProver,
+                       SumcheckInstanceVerifier)
 
 
 # ---------------------------------------------------------------------------
@@ -116,17 +117,18 @@ def compute_G(chunks_d: np.ndarray, eq_cycle, K: int = K_CHUNK) -> np.ndarray:
     The cycle-bound chunk polynomial ra_d(k, r_cycle) (reference
     compute_ra_evals, shout.rs:532+).
     """
-    G = vec.zeros(K)
+    eq_obj = vec.as_object(eq_cycle)
+    G = np.zeros(K, dtype=object)
     for j, k in enumerate(chunks_d):
-        G[int(k)] = (G[int(k)] + eq_cycle[j]) % vec.R
-    return G
+        G[int(k)] = (G[int(k)] + eq_obj[j]) % vec.R
+    return vec.as_native(G)
 
 
 # ---------------------------------------------------------------------------
 # AddressReadCheck sumcheck (degree 2, LOG_K_CHUNK rounds)
 # ---------------------------------------------------------------------------
 
-class AddressReadCheckProver(SumcheckInstanceProver):
+class AddressReadCheckProver(RowsInstance, SumcheckInstanceProver):
     """Proves claim = sum_k g(k) * ra_d(k, r_cycle).
 
     Final: the bound value ra_d((r_addr, r_cycle)) is appended as a committed
@@ -138,12 +140,13 @@ class AddressReadCheckProver(SumcheckInstanceProver):
                  appends_opening: bool):
         self.poly_id = poly_id
         self.sumcheck_id = sumcheck_id
-        self.table = MLPoly(ints=table_vec(table_spec))
-        self.G = MLPoly(fvec=G.copy())
+        table = MLPoly(ints=table_vec(table_spec))
         self.r_cycle = r_cycle
         self.claim = claim
         self.appends_opening = appends_opening
-        self._rounds = self.table.num_vars
+        self._rounds = table.num_vars
+        self.setup_rows([table, MLPoly(fvec=G.copy())],
+                        [(Fr.one(), [0, 1])], 2)
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -155,21 +158,17 @@ class AddressReadCheckProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
-        e_t = self.table.sumcheck_evals(2, BindingOrder.HighToLow)
-        e_g = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
-        points = [vec.vsum(vec.vmul(e_t[t], e_g[t])) for t in range(2)]
-        return UniPoly.from_evals_and_hint(previous_claim, points)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
-        self.table.bind(r, BindingOrder.HighToLow)
-        self.G.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
         if self.appends_opening:
             point = list(r) + list(self.r_cycle)
             accumulator.append_committed(
                 transcript, OpeningId.committed(self.poly_id, self.sumcheck_id),
-                point, self.G.final_claim())
+                point, self.row_final(1))
 
 
 class AddressReadCheckVerifier(SumcheckInstanceVerifier):
@@ -210,17 +209,21 @@ class AddressReadCheckVerifier(SumcheckInstanceVerifier):
 # Booleanity sumcheck (degree 3, LOG_K_CHUNK + log T rounds)
 # ---------------------------------------------------------------------------
 
-class BooleanityProver(SumcheckInstanceProver):
+class BooleanityProver(RowsInstance, SumcheckInstanceProver):
     """0 = sum_{k,j} eq(r_b, (k,j)) * sum_d gamma_d * (ra_d^2 - ra_d)."""
 
     def __init__(self, poly_ids: list[CommittedPoly], ra_polys: list[MLPoly],
                  r_b: list[Fr], gammas: list[Fr]):
         self.poly_ids = poly_ids
-        self.ras = [p.clone() for p in ra_polys]
         self.r_b = r_b
         self.gammas = gammas
-        self.eq = MLPoly(fvec=eq_evals(r_b))
         self._rounds = len(r_b)
+        rows = [MLPoly(fvec=eq_evals(r_b))] + [p.clone() for p in ra_polys]
+        terms = []
+        for d, gamma in enumerate(gammas):
+            terms.append((gamma, [0, d + 1, d + 1]))
+            terms.append((Fr.zero() - gamma, [0, d + 1]))
+        self.setup_rows(rows, terms, 3)
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -232,29 +235,17 @@ class BooleanityProver(SumcheckInstanceProver):
         return Fr.zero()
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
-        e_eq = self.eq.sumcheck_evals(3, BindingOrder.HighToLow)
-        e_ras = [p.sumcheck_evals(3, BindingOrder.HighToLow) for p in self.ras]
-        points = []
-        for t in range(3):  # evals at 0, 2, 3
-            inner = None
-            for gamma, e in zip(self.gammas, e_ras):
-                term = vec.vscale(
-                    vec.vsub(vec.vmul(e[t], e[t]), e[t]), gamma)
-                inner = term if inner is None else vec.vadd(inner, term)
-            points.append(vec.vsum(vec.vmul(e_eq[t], inner)))
-        return UniPoly.from_evals_and_hint(previous_claim, points)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
-        self.eq.bind(r, BindingOrder.HighToLow)
-        for p in self.ras:
-            p.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
-        for pid, p in zip(self.poly_ids, self.ras):
+        for d, pid in enumerate(self.poly_ids):
             accumulator.append_committed(
                 transcript,
                 OpeningId.committed(pid, SumcheckId.make("Booleanity")),
-                list(r), p.final_claim())
+                list(r), self.row_final(d + 1))
 
 
 class BooleanityVerifier(SumcheckInstanceVerifier):
@@ -296,7 +287,7 @@ class BooleanityVerifier(SumcheckInstanceVerifier):
 # one-hot read-address polynomial is committed as 4-bit chunks.
 # ---------------------------------------------------------------------------
 
-class ReadRafProver(SumcheckInstanceProver):
+class ReadRafProver(RowsInstance, SumcheckInstanceProver):
     """rv_claim + gamma*raf_claim = sum_k G(k) * (Val(k) + gamma*k).
 
     G(k) = sum_j eq(r_cycle, j) [index_j = k]. Final: virtual full-ra claim
@@ -312,11 +303,12 @@ class ReadRafProver(SumcheckInstanceProver):
         self.claim = claim
         self.r_cycle = r_cycle
         eq_cycle = eq_evals(r_cycle)
-        self.G = MLPoly(fvec=compute_G(indices.astype(np.int64), eq_cycle, K=K))
+        G = MLPoly(fvec=compute_G(indices.astype(np.int64), eq_cycle, K=K))
         ident = np.arange(K, dtype=object)
-        val = (vec.from_ints(table.astype(np.int64)) + gamma.v * ident) % vec.R
-        self.val = MLPoly(fvec=val)
+        val = (vec.as_object(vec.from_ints(table.astype(np.int64)))
+               + gamma.v * ident) % vec.R
         self._rounds = K.bit_length() - 1
+        self.setup_rows([G, MLPoly(fvec=val)], [(Fr.one(), [0, 1])], 2)
 
     def num_rounds(self):
         return self._rounds
@@ -328,19 +320,15 @@ class ReadRafProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        eg = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
-        ev = self.val.sumcheck_evals(2, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(eg[t], ev[t])) for t in range(2)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.G.bind(r, BindingOrder.HighToLow)
-        self.val.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_virtual(
             transcript, self.ra_opening_id, list(r) + list(self.r_cycle),
-            self.G.final_claim())
+            self.row_final(0))
 
 
 class ReadRafVerifier(SumcheckInstanceVerifier):
@@ -375,7 +363,7 @@ class ReadRafVerifier(SumcheckInstanceVerifier):
         return ra_claim * (val_claim + self.gamma * ident)
 
 
-class RaVirtualizationProver(SumcheckInstanceProver):
+class RaVirtualizationProver(RowsInstance, SumcheckInstanceProver):
     """ra(r_address, r_cycle) = sum_j eq(r_cycle, j) prod_d ra_d(chunk slice, j).
 
     ra_d pre-bound at its 4-bit slice of r_address (chunk d = bits
@@ -393,14 +381,15 @@ class RaVirtualizationProver(SumcheckInstanceProver):
         self.sumcheck_id = sumcheck_id
         nv = len(r_address)
         self.r_addr_slices = []
-        self.A = []
+        rows = [MLPoly(fvec=eq_evals(r_cycle))]
         for d in range(num_chunks):
             sl = r_address[nv - 4 * (d + 1): nv - 4 * d]
             self.r_addr_slices.append(sl)
             eq_d = eq_evals(sl)
-            self.A.append(MLPoly(fvec=eq_d[chunks[d]]))
-        self.eq = MLPoly(fvec=eq_evals(r_cycle))
+            rows.append(MLPoly(fvec=eq_d[chunks[d]]))
         self._rounds = len(r_cycle)
+        self.setup_rows(rows, [(Fr.one(), list(range(num_chunks + 1)))],
+                        num_chunks + 1)
 
     def num_rounds(self):
         return self._rounds
@@ -412,21 +401,10 @@ class RaVirtualizationProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        d = self.degree()
-        ee = self.eq.sumcheck_evals(d, BindingOrder.HighToLow)
-        eas = [a.sumcheck_evals(d, BindingOrder.HighToLow) for a in self.A]
-        pts = []
-        for t in range(d):
-            prod = ee[t]
-            for ea in eas:
-                prod = vec.vmul(prod, ea[t])
-            pts.append(vec.vsum(prod))
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.eq.bind(r, BindingOrder.HighToLow)
-        for a in self.A:
-            a.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         for d in range(self.num_chunks):
@@ -434,7 +412,7 @@ class RaVirtualizationProver(SumcheckInstanceProver):
                 transcript,
                 OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id),
                 list(self.r_addr_slices[d]) + list(r),
-                self.A[d].final_claim())
+                self.row_final(d + 1))
 
 
 class RaVirtualizationVerifier(SumcheckInstanceVerifier):
@@ -490,18 +468,19 @@ class RaVirtualizationVerifier(SumcheckInstanceVerifier):
 LT16 = (np.arange(K_CHUNK)[:, None] < np.arange(K_CHUNK)[None, :]).astype(np.int64)
 
 
-class EqPairCheckProver(SumcheckInstanceProver):
+class EqPairCheckProver(RowsInstance, SumcheckInstanceProver):
     def __init__(self, pid_a: CommittedPoly, pid_b: CommittedPoly,
                  sid: SumcheckId, chunks_a, chunks_b, r_cycle, claim: Fr):
         T = len(chunks_a)
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
-        eqj = eq_evals(r_cycle)
-        self.W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
-        self.ra = one_hot_poly(chunks_a)
-        self.rb = one_hot_poly(chunks_b)
+        eqj = vec.as_object(eq_evals(r_cycle))
+        W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
+        ra = one_hot_poly(chunks_a)
+        rb = one_hot_poly(chunks_b)
         self.r_cycle = r_cycle
-        self._rounds = self.ra.num_vars
+        self._rounds = ra.num_vars
+        self.setup_rows([W, ra, rb], [(Fr.one(), [0, 1, 2])], 3)
 
     def num_rounds(self):
         return self._rounds
@@ -513,24 +492,18 @@ class EqPairCheckProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
-        ea = self.ra.sumcheck_evals(3, BindingOrder.HighToLow)
-        eb = self.rb.sumcheck_evals(3, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ea[t], eb[t])))
-               for t in range(3)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        for p in (self.W, self.ra, self.rb):
-            p.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_a, self.sid), list(r),
-            self.ra.final_claim())
+            self.row_final(1))
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_b, self.sid), list(r),
-            self.rb.final_claim())
+            self.row_final(2))
 
 
 class EqPairCheckVerifier(SumcheckInstanceVerifier):
@@ -562,14 +535,14 @@ class EqPairCheckVerifier(SumcheckInstanceVerifier):
         return eqv * a * b
 
 
-class LtPairCheckProver(SumcheckInstanceProver):
+class LtPairCheckProver(RowsInstance, SumcheckInstanceProver):
     def __init__(self, pid_a: CommittedPoly, pid_b: CommittedPoly,
                  sid: SumcheckId, chunks_a, chunks_b, r_cycle, claim: Fr):
         T = len(chunks_a)
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
         self.r_cycle = r_cycle
-        eqj = np.asarray(eq_evals(r_cycle))
+        eqj = vec.as_object(eq_evals(r_cycle))
         # W(k, k', j) = LT16[k, k'] * eq(j); domain (k, k', j) flattened
         W = (LT16[:, :, None] * eqj[None, None, :]) % vec.R
         self.W = MLPoly(fvec=W.reshape(-1).astype(object))
@@ -580,9 +553,10 @@ class LtPairCheckProver(SumcheckInstanceProver):
         ob[chunks_b, np.arange(T)] = 1
         A = np.broadcast_to(oa[:, None, :], (K_CHUNK, K_CHUNK, T))
         B = np.broadcast_to(ob[None, :, :], (K_CHUNK, K_CHUNK, T))
-        self.ra = MLPoly(ints=np.ascontiguousarray(A).reshape(-1))
-        self.rb = MLPoly(ints=np.ascontiguousarray(B).reshape(-1))
-        self._rounds = self.ra.num_vars
+        ra = MLPoly(ints=np.ascontiguousarray(A).reshape(-1))
+        rb = MLPoly(ints=np.ascontiguousarray(B).reshape(-1))
+        self._rounds = ra.num_vars
+        self.setup_rows([self.W, ra, rb], [(Fr.one(), [0, 1, 2])], 3)
 
     def num_rounds(self):
         return self._rounds
@@ -594,16 +568,10 @@ class LtPairCheckProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
-        ea = self.ra.sumcheck_evals(3, BindingOrder.HighToLow)
-        eb = self.rb.sumcheck_evals(3, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ea[t], eb[t])))
-               for t in range(3)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        for p in (self.W, self.ra, self.rb):
-            p.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         r_k = list(r)[:LOG_K_CHUNK]
@@ -613,10 +581,10 @@ class LtPairCheckProver(SumcheckInstanceProver):
         # bound values ARE ra_a(r_k, r_j) / ra_b(r_k2, r_j)
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_a, self.sid),
-            r_k + r_j, self.ra.final_claim())
+            r_k + r_j, self.row_final(1))
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_b, self.sid),
-            r_k2 + r_j, self.rb.final_claim())
+            r_k2 + r_j, self.row_final(2))
 
 
 class LtPairCheckVerifier(SumcheckInstanceVerifier):

@@ -51,6 +51,72 @@ class SumcheckInstanceProver(ABC):
         pass
 
 
+class RowsInstance:
+    """Mixin engine for product-terms instances:
+        points[t] = sum_j sum_terms coeff * prod_{i in idxs} rows[i](t, j)
+
+    Rows are MLPolys of equal length; `terms` is [(Fr coeff, [row indices])].
+    Uses the fused native kernel (one C call per round, field/frvec.py
+    FusedInstance) when available; falls back to the generic vec loop.
+    Covers AddressReadCheck/Booleanity/ReadRaf/RaVirtualization/Eq-LtPair/
+    contraction instances — the per-instance classes keep only their claim
+    logic and opening bookkeeping.
+    """
+
+    def setup_rows(self, mlpolys: list, terms, degree: int) -> None:
+        from ..field import vec
+        self._rows_terms = terms
+        self._rows_deg = degree
+        self._mlrows = mlpolys
+        self._rows_fused = None
+        if vec.native_available():
+            from ..field.frvec import FrArray, FusedInstance
+            rows = [p.to_field() for p in mlpolys]
+            if (len(rows) <= FusedInstance.MAXP
+                    and max(1, degree) <= FusedInstance.MAXE
+                    and all(isinstance(x, FrArray) for x in rows)):
+                self._rows_fused = FusedInstance(rows, terms)
+
+    def rows_message(self, previous_claim: Fr) -> UniPoly:
+        from ..field import vec
+        from ..poly.mlpoly import BindingOrder
+        d = self._rows_deg
+        if self._rows_fused is not None:
+            return UniPoly.from_evals_and_hint(
+                previous_claim, self._rows_fused.round_points(d))
+        evs = [p.sumcheck_evals(d, BindingOrder.HighToLow)
+               for p in self._mlrows]
+        half = len(self._mlrows[0]) // 2
+        points = []
+        for t in range(max(1, d)):
+            acc = None
+            for coeff, idxs in self._rows_terms:
+                if idxs:
+                    prod = None
+                    for i in idxs:
+                        prod = (evs[i][t] if prod is None
+                                else vec.vmul(prod, evs[i][t]))
+                    term = vec.vscale(prod, coeff)
+                else:
+                    term = vec.full(half, coeff)
+                acc = term if acc is None else vec.vadd(acc, term)
+            points.append(vec.vsum(acc))
+        return UniPoly.from_evals_and_hint(previous_claim, points)
+
+    def rows_bind(self, r: Fr) -> None:
+        from ..poly.mlpoly import BindingOrder
+        if self._rows_fused is not None:
+            self._rows_fused.bind(r)
+            return
+        for p in self._mlrows:
+            p.bind(r, BindingOrder.HighToLow)
+
+    def row_final(self, i: int) -> Fr:
+        if self._rows_fused is not None:
+            return self._rows_fused.row_value(i)
+        return self._mlrows[i].final_claim()
+
+
 class SumcheckInstanceVerifier(ABC):
     @abstractmethod
     def num_rounds(self) -> int: ...

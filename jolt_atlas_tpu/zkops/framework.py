@@ -145,6 +145,19 @@ class CycleExecutionProver(SumcheckInstanceProver):
         self.eq = MLPoly(fvec=eq_evals(r))
         self._deg = 1 + max(len(f) for _, f in terms)
         self._rounds = len(r)
+        self._fused = None
+        if vec.native_available():
+            from ..field.frvec import FrArray, FusedInstance
+            names = list(named_polys)
+            rows = [self.eq.to_field()] + [named_polys[n].to_field()
+                                           for n in names]
+            if (len(rows) <= FusedInstance.MAXP
+                    and self._deg <= FusedInstance.MAXE
+                    and all(isinstance(rw, FrArray) for rw in rows)):
+                self._row_idx = {n: i + 1 for i, n in enumerate(names)}
+                fterms = [(c, [0] + [self._row_idx[f] for f in factors])
+                          for c, factors in terms]
+                self._fused = FusedInstance(rows, fterms)
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -157,6 +170,9 @@ class CycleExecutionProver(SumcheckInstanceProver):
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
         d = self._deg
+        if self._fused is not None:
+            return UniPoly.from_evals_and_hint(
+                previous_claim, self._fused.round_points(d))
         cache = {n: p.sumcheck_evals(d, BindingOrder.HighToLow)
                  for n, p in self.polys.items()}
         e_eq = self.eq.sumcheck_evals(d, BindingOrder.HighToLow)
@@ -172,27 +188,35 @@ class CycleExecutionProver(SumcheckInstanceProver):
                         prod = ev if prod is None else vec.vmul(prod, ev)
                     term = vec.vscale(prod, coeff)
                 else:  # constant term: coeff * 1
-                    term = np.full(half, coeff.v, dtype=object)
+                    term = vec.full(half, coeff)
                 acc = term if acc is None else vec.vadd(acc, term)
             points.append(vec.vsum(vec.vmul(e_eq[t], acc)))
         return UniPoly.from_evals_and_hint(previous_claim, points)
 
     def ingest_challenge(self, r_j: Fr, round: int) -> None:
+        if self._fused is not None:
+            self._fused.bind(r_j)
+            return
         self.eq.bind(r_j, BindingOrder.HighToLow)
         for p in self.polys.values():
             p.bind(r_j, BindingOrder.HighToLow)
 
+    def _final(self, name: str) -> Fr:
+        if self._fused is not None:
+            return self._fused.row_value(self._row_idx[name])
+        return self.polys[name].final_claim()
+
     def final_claims(self) -> dict[str, Fr]:
-        return {n: p.final_claim() for n, p in self.polys.items()}
+        return {n: self._final(n) for n in self.polys}
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:
         for name, oid in self.opening_specs:
             if oid.is_virtual:
                 accumulator.append_virtual(transcript, oid, list(r),
-                                           self.polys[name].final_claim())
+                                           self._final(name))
             else:  # dense committed advice polynomial opened directly
                 accumulator.append_committed(transcript, oid, list(r),
-                                             self.polys[name].final_claim())
+                                             self._final(name))
 
 
 class CycleExecutionVerifier(SumcheckInstanceVerifier):

@@ -27,6 +27,7 @@ from ..poly.unipoly import UniPoly
 from ..subprotocols import onehot
 from ..subprotocols.sumcheck import (
     BatchedSumcheck,
+    RowsInstance,
     Sumcheck,
     SumcheckInstanceProver,
     SumcheckInstanceVerifier,
@@ -347,9 +348,10 @@ class EinsumLayout:
         """Partial-evaluate at exclusive out chars; flatten remaining axes
         (shared + contract) in canonical domain order (absent chars -> the
         operand is constant along them, broadcast)."""
-        obj = vec.from_ints(arr.astype(np.int64))
+        obj = arr.astype(object) % vec.R
         excl = self.exclusive_chars(term)
-        eq_parts = [eq_evals(out_groups[ch]) for ch in term if ch in excl]
+        eq_parts = [vec.as_object(eq_evals(out_groups[ch]))
+                    for ch in term if ch in excl]
         sub = ",".join([term] + [ch for ch in term if ch in excl])
         kept = [ch for ch in self.domain_chars if ch in term]
         out_sub = "".join(kept)
@@ -370,7 +372,7 @@ class EinsumLayout:
         r_shared = []
         for ch in self.shared_chars:
             r_shared.extend(out_groups[ch])
-        eq = eq_evals(r_shared)
+        eq = vec.as_object(eq_evals(r_shared))
         n_contract = 1
         for ch in self.contract_chars:
             n_contract *= self.sizes[ch]
@@ -378,17 +380,19 @@ class EinsumLayout:
         return MLPoly(fvec=full)
 
 
-class EinsumContractionProver(SumcheckInstanceProver):
+class EinsumContractionProver(RowsInstance, SumcheckInstanceProver):
     def __init__(self, node, layout: EinsumLayout, bounds: list[MLPoly],
                  claim: Fr, out_groups: dict, producers: list[int]):
         self.node = node
         self.layout = layout
-        self.bounds = bounds
-        self.eq_shared = layout.eq_shared_poly(out_groups)
+        eq_shared = layout.eq_shared_poly(out_groups)
         self.claim = claim
         self.out_groups = out_groups
         self.producers = producers
         self._rounds = layout.domain_vars()
+        rows = list(bounds) + ([eq_shared] if eq_shared is not None else [])
+        self.setup_rows(rows, [(Fr.one(), list(range(len(rows))))],
+                        layout.degree())
 
     def num_rounds(self):
         return self._rounds
@@ -400,31 +404,19 @@ class EinsumContractionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        d = self.degree()
-        ea = self.bounds[0].sumcheck_evals(d, BindingOrder.HighToLow)
-        eb = self.bounds[1].sumcheck_evals(d, BindingOrder.HighToLow)
-        if self.eq_shared is not None:
-            ee = self.eq_shared.sumcheck_evals(d, BindingOrder.HighToLow)
-            pts = [vec.vsum(vec.vmul(ee[t], vec.vmul(ea[t], eb[t])))
-                   for t in range(d)]
-        else:
-            pts = [vec.vsum(vec.vmul(ea[t], eb[t])) for t in range(d)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        for b in self.bounds:
-            b.bind(r, BindingOrder.HighToLow)
-        if self.eq_shared is not None:
-            self.eq_shared.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         c_groups = self.layout.split_domain_point(list(r))
-        for slot, (term, prod, bound) in enumerate(
-                zip(self.layout.terms, self.producers, self.bounds)):
+        for slot, (term, prod) in enumerate(
+                zip(self.layout.terms, self.producers)):
             pt = self.layout.operand_point(term, self.out_groups, c_groups)
             accumulator.append_virtual(
                 transcript, input_opening_id(self.node.idx, slot, prod),
-                pt, bound.final_claim())
+                pt, self.row_final(slot))
 
 
 class EinsumContractionVerifier(SumcheckInstanceVerifier):
@@ -920,16 +912,16 @@ def _verify_einsum(node, ctx, r, out_claim):
 # Sum (axis reduction with saturation; reference ops/sum + SumReduction)
 # ---------------------------------------------------------------------------
 
-class SumAxisContractionProver(SumcheckInstanceProver):
+class SumAxisContractionProver(RowsInstance, SumcheckInstanceProver):
     """claim = sum over summed-axis vars of in(kept at r', summed free)."""
 
     def __init__(self, node, bound: MLPoly, claim: Fr, in_axes_info, producer):
         self.node = node
-        self.bound = bound
         self.claim = claim
         self.in_axes_info = in_axes_info  # list of (is_summed, r_group or var count)
         self.producer = producer
         self._rounds = bound.num_vars
+        self.setup_rows([bound], [(Fr.one(), [0])], 1)
 
     def num_rounds(self):
         return self._rounds
@@ -941,17 +933,16 @@ class SumAxisContractionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        e = self.bound.sumcheck_evals(1, BindingOrder.HighToLow)
-        return UniPoly.from_evals_and_hint(previous_claim, [vec.vsum(e[0])])
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.bound.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         pt = _sum_input_point(self.in_axes_info, list(r))
         accumulator.append_virtual(
             transcript, input_opening_id(self.node.idx, 0, self.producer),
-            pt, self.bound.final_claim())
+            pt, self.row_final(0))
 
 
 class SumAxisContractionVerifier(SumcheckInstanceVerifier):
@@ -1041,9 +1032,10 @@ def _prove_sum(node, ctx, r, out_claim):
     info, rounds, out_groups = _sum_axes_setup(node, ctx, r_sc)
     acc_claim = ctx.accumulator.get_opening(acc_opening_id(node.idx))[1]
     # bind kept axes of the input at r groups; flatten summed axes
-    obj = vec.from_ints(x.astype(np.int64))
+    obj = x.astype(object) % vec.R
     term = "".join(chr(ord("a") + i) for i in range(x.ndim))
-    eq_parts = [eq_evals(payload) for (s, payload) in info if not s]
+    eq_parts = [vec.as_object(eq_evals(payload))
+                for (s, payload) in info if not s]
     sub = ",".join([term] + [term[ax] for ax, (s, _) in enumerate(info) if not s])
     out_sub = "".join(term[ax] for ax, (s, _) in enumerate(info) if s)
     bound = np.einsum(f"{sub}->{out_sub}", obj, *eq_parts) % vec.R
@@ -1079,18 +1071,19 @@ def _verify_sum(node, ctx, r, out_claim):
 # Gather (small dictionaries; reference ops/gather/small.rs)
 # ---------------------------------------------------------------------------
 
-class GatherReadRafProver(SumcheckInstanceProver):
+class GatherReadRafProver(RowsInstance, SumcheckInstanceProver):
     """out(r) + gamma*idx(r_i) = sum_v G(v) * (dict(v, r_e) + gamma*ident(v))."""
 
-    def __init__(self, node, G: MLPoly, val: MLPoly, claim: Fr,
-                 r_i: list[Fr], r_e: list[Fr], dict_producer: int):
+    def __init__(self, node, G: MLPoly, val: MLPoly, dict_bound: MLPoly,
+                 claim: Fr, r_i: list[Fr], r_e: list[Fr], dict_producer: int):
         self.node = node
-        self.G = G
-        self.val = val
         self.claim = claim
         self.r_i, self.r_e = r_i, r_e
         self.dict_producer = dict_producer
         self._rounds = G.num_vars
+        # row 2 (the eq_e-bound dictionary) is outside the terms: it rides
+        # the shared binding so its final value is dict(r_v, r_e)
+        self.setup_rows([G, val, dict_bound], [(Fr.one(), [0, 1])], 2)
 
     def num_rounds(self):
         return self._rounds
@@ -1102,14 +1095,10 @@ class GatherReadRafProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        eg = self.G.sumcheck_evals(2, BindingOrder.HighToLow)
-        ev = self.val.sumcheck_evals(2, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(eg[t], ev[t])) for t in range(2)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.G.bind(r, BindingOrder.HighToLow)
-        self.val.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         r_v = list(r)
@@ -1117,10 +1106,10 @@ class GatherReadRafProver(SumcheckInstanceProver):
             transcript,
             OpeningId.committed(CommittedPoly.make("GatherRa", self.node.idx),
                                SumcheckId.make("Raf")),
-            r_v + self.r_i, self.G.final_claim())
+            r_v + self.r_i, self.row_final(0))
         accumulator.append_virtual(
             transcript, input_opening_id(self.node.idx, 0, self.dict_producer),
-            r_v + self.r_e, self._dict_claim)
+            r_v + self.r_e, self.row_final(2))
 
 
 class GatherReadRafVerifier(SumcheckInstanceVerifier):
@@ -1182,33 +1171,17 @@ def _prove_gather(node, ctx, r, out_claim):
 
     eq_i = eq_evals(r_i)
     G = onehot.compute_G(idx_in.astype(np.int64), eq_i, K=V)
-    eq_e = eq_evals(r_e)
+    eq_e = vec.as_object(eq_evals(r_e))
     dict_flat = dict_in.reshape(V, -1)
-    dobj = vec.from_ints(dict_flat.astype(np.int64))
+    dobj = dict_flat.astype(object) % vec.R
     dict_bound = np.einsum("ve,e->v", dobj, eq_e) % vec.R
     ident = np.arange(V, dtype=object)
     val = (dict_bound + gamma.v * ident) % vec.R
 
     inst = GatherReadRafProver(node, MLPoly(fvec=G.copy()),
-                               MLPoly(fvec=val), claim, r_i, r_e,
-                               node.inputs[0])
-    inst._dict_claim = None
-    # precompute dict claim lazily in cache: bind dict_bound alongside
-    inst_dict = MLPoly(fvec=dict_bound.copy())
-    orig_ingest = inst.ingest_challenge
-
-    def ingest(rr, rnd):
-        orig_ingest(rr, rnd)
-        inst_dict.bind(rr, BindingOrder.HighToLow)
-
-    inst.ingest_challenge = ingest
-    orig_cache = inst.cache_openings
-
-    def cache(acc_, tr_, rr):
-        inst._dict_claim = inst_dict.final_claim()
-        orig_cache(acc_, tr_, rr)
-
-    inst.cache_openings = cache
+                               MLPoly(fvec=val),
+                               MLPoly(fvec=dict_bound.copy()), claim,
+                               r_i, r_e, node.inputs[0])
     proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "Execution")] = proof
 
@@ -1781,7 +1754,7 @@ _register([FOPS.Sin, FOPS.Cos], _prove_trig, _verify_trig)
 # ops/mean_of_squares.rs) and Cube
 # ---------------------------------------------------------------------------
 
-class MoSAxisContractionProver(SumcheckInstanceProver):
+class MoSAxisContractionProver(RowsInstance, SumcheckInstanceProver):
     """acc(r') = sum_{full input domain} W(j) * x(j)^2, where W is the eq
     weight over the kept axes broadcast along the summed axes (kept axes
     must stay inside the nonlinear sum)."""
@@ -1789,12 +1762,11 @@ class MoSAxisContractionProver(SumcheckInstanceProver):
     def __init__(self, node, W: MLPoly, x: MLPoly, claim: Fr, in_axes_info,
                  producer):
         self.node = node
-        self.W = W
-        self.x = x
         self.claim = claim
         self.in_axes_info = in_axes_info
         self.producer = producer
         self._rounds = x.num_vars
+        self.setup_rows([W, x], [(Fr.one(), [0, 1, 1])], 3)
 
     def num_rounds(self):
         return self._rounds
@@ -1806,20 +1778,15 @@ class MoSAxisContractionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        ew = self.W.sumcheck_evals(3, BindingOrder.HighToLow)
-        ex = self.x.sumcheck_evals(3, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(ew[t], vec.vmul(ex[t], ex[t])))
-               for t in range(3)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.W.bind(r, BindingOrder.HighToLow)
-        self.x.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_virtual(
             transcript, input_opening_id(self.node.idx, 0, self.producer),
-            list(r), self.x.final_claim())
+            list(r), self.row_final(1))
 
 
 class MoSAxisContractionVerifier(SumcheckInstanceVerifier):
@@ -1930,7 +1897,7 @@ def _prove_mos(node, ctx, r, out_claim):
         if is_summed:
             w_axes.append(np.ones(1 << payload, dtype=object))
         else:
-            w_axes.append(eq_evals(payload))
+            w_axes.append(vec.as_object(eq_evals(payload)))
     W = w_axes[0]
     for ax_v in w_axes[1:]:
         W = np.multiply.outer(W, ax_v) % vec.R
@@ -2210,7 +2177,10 @@ def _softmax_layout(scale_pow: int):
     cR = max(1, scale_pow // 4)
     return {
         "lut": lut, "S": S, "khi": khi, "klo": klo,
-        "chi": chi, "clo": clo, "cR": cR, "csd": 4,
+        # sat_diff = z - clamp(z) with z = max - x spanning the full i32
+        # input range, so it needs 8 nibbles (z < 2^32); 4 overflowed for
+        # attention scores beyond +/-2^16 (deep/wide transformer blocks)
+        "chi": chi, "clo": clo, "cR": cR, "csd": 8,
         "zbound": len(lut.lut_hi) * lut.base,
         "tab_hi": np.concatenate([lut.lut_hi,
                                   np.zeros(khi - len(lut.lut_hi), np.int32)]),
@@ -2289,15 +2259,15 @@ def _softmax_terms(g: list[Fr], L: dict, scale_pow: int):
     return terms, (zh_spec, zl_spec, sd_spec, r_spec, re_spec), has
 
 
-class ExpSumProver(SumcheckInstanceProver):
+class ExpSumProver(RowsInstance, SumcheckInstanceProver):
     """exp_sum_pub(r_k) = sum_n expq(r_k, n); final expq committed opening."""
 
     def __init__(self, node_idx, expq_bound: MLPoly, claim, r_k):
         self.node_idx = node_idx
-        self.bound = expq_bound
         self.claim = claim
         self.r_k = r_k
         self._rounds = expq_bound.num_vars
+        self.setup_rows([expq_bound], [(Fr.one(), [0])], 1)
 
     def num_rounds(self):
         return self._rounds
@@ -2309,16 +2279,15 @@ class ExpSumProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        e = self.bound.sumcheck_evals(1, BindingOrder.HighToLow)
-        return UniPoly.from_evals_and_hint(previous_claim, [vec.vsum(e[0])])
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.bound.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_committed(
             transcript, _softmax_expq_id(self.node_idx, "sum"),
-            list(self.r_k) + list(r), self.bound.final_claim())
+            list(self.r_k) + list(r), self.row_final(0))
 
 
 class ExpSumVerifier(SumcheckInstanceVerifier):
@@ -2346,17 +2315,16 @@ class ExpSumVerifier(SumcheckInstanceVerifier):
         return accumulator.claim_of(_softmax_expq_id(self.node_idx, "sum"))
 
 
-class MaxCheckProver(SumcheckInstanceProver):
+class MaxCheckProver(RowsInstance, SumcheckInstanceProver):
     """max_pub(r_k) = sum_j eq(r_k, k(j)) * argind(j) * x(j)."""
 
     def __init__(self, node_idx, P: MLPoly, x: MLPoly, claim, slot, producer):
         self.node_idx = node_idx
-        self.P = P
-        self.x = x
         self.claim = claim
         self.slot = slot
         self.producer = producer
         self._rounds = x.num_vars
+        self.setup_rows([P, x], [(Fr.one(), [0, 1])], 2)
 
     def num_rounds(self):
         return self._rounds
@@ -2368,19 +2336,15 @@ class MaxCheckProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round, previous_claim):
-        ep = self.P.sumcheck_evals(2, BindingOrder.HighToLow)
-        ex = self.x.sumcheck_evals(2, BindingOrder.HighToLow)
-        pts = [vec.vsum(vec.vmul(ep[t], ex[t])) for t in range(2)]
-        return UniPoly.from_evals_and_hint(previous_claim, pts)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r, round):
-        self.P.bind(r, BindingOrder.HighToLow)
-        self.x.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_virtual(
             transcript, input_opening_id(self.node_idx, self.slot, self.producer),
-            list(r), self.x.final_claim())
+            list(r), self.row_final(1))
 
 
 class MaxCheckVerifier(SumcheckInstanceVerifier):
@@ -2527,9 +2491,9 @@ def _prove_softmax(node, ctx, r, out_claim):
     log_n = N.bit_length() - 1
     r_k = ctx.transcript.challenge_vector_optimized(log_f)
     expsum_claim = MLPoly(ints=tr.exp_sum_q.astype(np.int64)).evaluate(r_k)
-    eq_k = eq_evals(r_k)
-    eobj = vec.from_ints(tr.exp_q.astype(np.int64).reshape(F_n, N))
-    bound = np.einsum("kn,k->n", eobj, np.asarray(eq_k)) % vec.R
+    eq_k = vec.as_object(eq_evals(r_k))
+    eobj = tr.exp_q.astype(object).reshape(F_n, N) % vec.R
+    bound = np.einsum("kn,k->n", eobj, eq_k) % vec.R
     es = ExpSumProver(node.idx, MLPoly(fvec=bound), expsum_claim, list(r_k))
     esproof, _ = Sumcheck.prove(es, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "ExpSum")] = esproof
@@ -2539,7 +2503,7 @@ def _prove_softmax(node, ctx, r, out_claim):
     max_claim = MLPoly(ints=tr.max_k.astype(np.int64)).evaluate(r_k2)
     argind = np.zeros((F_n, N), dtype=np.int64)
     argind[np.arange(F_n), tr.argmax_k] = 1
-    eq_k2 = np.asarray(eq_evals(r_k2))
+    eq_k2 = vec.as_object(eq_evals(r_k2))
     P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
     mc = MaxCheckProver(node.idx, MLPoly(fvec=P_pub.reshape(-1)),
                         MLPoly(ints=padded_flat(x_arr).astype(np.int64)),
@@ -2662,7 +2626,7 @@ def _verify_softmax(node, ctx, r, out_claim):
     max_claim = MLPoly(ints=aux["max_k"].astype(np.int64)).evaluate(r_k2)
     argind = np.zeros((F_n, N), dtype=np.int64)
     argind[np.arange(F_n), aux["argmax_k"].astype(np.int64)] = 1
-    eq_k2 = np.asarray(eq_evals(r_k2))
+    eq_k2 = vec.as_object(eq_evals(r_k2))
     P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
     mc = MaxCheckVerifier(node.idx, log_f + log_n, max_claim, 2,
                           node.inputs[0], P_pub.reshape(-1))

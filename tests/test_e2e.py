@@ -303,6 +303,15 @@ class TestE2ELayerNormPieces:
         b.output(b.mean_of_squares(x, [1]))
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(8, 16)), s)])
 
+    def test_softmax_large_magnitude(self):
+        """Regression: sat_diff (z = max - x) must cover the full i32 range;
+        4 nibbles overflowed for attention scores beyond 2^16."""
+        b = ModelBuilder(scale=8)
+        x = b.input([2, 16])
+        b.output(b.softmax_last_axis(x))
+        xq = rng.integers(-(2**30), 2**30, size=(2, 16)).astype(np.int32)
+        prove_and_verify(b.build(), [xq])
+
     def test_scdiv_pow16_divisor(self):
         """Regression: same LT-const sizing bug for ScalarConstDiv by 16/256."""
         for d in (16, 256):
