@@ -1,14 +1,17 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current round-1 workload: full prove wall-clock of a quantized MLP
-(matmul + bias-add + ReLU + matmul — the perceptron-class minimum slice)
-through the complete pipeline (witness, commitments, IOP, batched opening,
-HyperKZG). Baseline anchor: the reference's nanoGPT prove time (2.288 s on
-an M3 MacBook, BASELINE.md) — a larger workload than this MLP; treat
-`vs_baseline` as provisional until the model families match.
+Workload: full prove wall-clock of a nanoGPT-class transformer LM matching
+the reference benchmark model's shape (4 transformer blocks, n_embd 64,
+seq 64, vocab 65 — atlas-onnx-tracer/models/nanoGPT/gen.py:208, the model
+behind the reference's published 2.288 s prove on an M3 MacBook,
+BASELINE.md). Each block: RMS norm, single-head attention with softmax,
+tanh FFN, residuals; gather embeddings + LM head.
+
+Set BENCH_SMALL=1 for a quick smoke workload (1 block, dim 16, seq 8).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,35 +23,29 @@ NANOGPT_BASELINE_S = 2.288
 
 
 def main():
-    from jolt_atlas_tpu.frontend import ModelBuilder
-    from jolt_atlas_tpu.frontend.quantize import quantize_tensor
+    from examples.nanogpt_style import build_model
     from jolt_atlas_tpu.preprocessing import AtlasPreprocessing
     from jolt_atlas_tpu.prover import AtlasProver
     from jolt_atlas_tpu.verifier import AtlasVerifier
 
+    small = os.environ.get("BENCH_SMALL", "") not in ("", "0")
+    vocab, seq, dim, blocks = (32, 8, 16, 1) if small else (65, 64, 64, 4)
+
     rng = np.random.default_rng(1234)
-    s = 8
-    b = ModelBuilder(scale=s)
-    x = b.input([4, 32])
-    w1 = b.constant(quantize_tensor(rng.normal(size=(32, 64)) * 0.2, s))
-    h = b.matmul(x, w1)
-    bias = b.constant(quantize_tensor(rng.normal(size=(4, 64)) * 0.05, s))
-    a = b.relu(b.add(h, bias))
-    w2 = b.constant(quantize_tensor(rng.normal(size=(64, 16)) * 0.2, s))
-    out = b.matmul(a, w2)
-    b.output(out)
-    model = b.build()
-    xq = quantize_tensor(rng.normal(size=(4, 32)), s)
+    model = build_model(vocab, seq, dim, blocks, 8, rng)
+    toks = rng.integers(0, vocab, size=seq).astype(np.int32)
 
     pp = AtlasPreprocessing.preprocess(model)
     t0 = time.time()
-    proof, io = AtlasProver(pp).prove([xq])
+    proof, io = AtlasProver(pp).prove([toks])
     prove_s = time.time() - t0
     ok = AtlasVerifier(pp).verify(proof, io)
     assert ok, "bench proof failed verification"
 
+    name = ("nanogpt_smoke_prove_wall_s" if small
+            else "nanogpt_4l_d64_s64_prove_wall_s")
     print(json.dumps({
-        "metric": "mlp_4x32x64x16_prove_wall_s",
+        "metric": name,
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(NANOGPT_BASELINE_S / prove_s, 3),

@@ -290,6 +290,45 @@ void frv_eval_ladder(const u64* lo, const u64* hi, i64 n, int nevals,
   }
 }
 
+// out[idx[j]] += vals[j]  (cycle->address accumulation, compute_G)
+void frv_scatter_add(const u64* vals, const i64* idx, i64 T, u64* out,
+                     i64 K){
+  (void)K;
+  for(i64 j=0;j<T;j++){
+    Fr4 v,o;
+    memcpy(v.v,vals+j*4,32);
+    memcpy(o.v,out+idx[j]*4,32);
+    fr_add(o,o,v);
+    memcpy(out+idx[j]*4,o.v,32);
+  }
+}
+
+// synthetic division by (X - u): quotient q (length n-1) of f(X)-f(u),
+// q[n-2] = c[n-1]; q[i-1] = c[i] + u*q[i] for i = n-2 .. 1 (sequential)
+void frv_syndiv(const u64* coeffs, const u64* u, i64 n, u64* q){
+  Fr4 uu; memcpy(uu.v,u,32);
+  Fr4 acc; memcpy(acc.v,coeffs+(n-1)*4,32);
+  memcpy(q+(n-2)*4,acc.v,32);
+  for(i64 i=n-2;i>=1;i--){
+    Fr4 c; memcpy(c.v,coeffs+i*4,32);
+    fr_mul(acc,acc,uu);
+    fr_add(acc,acc,c);
+    memcpy(q+(i-1)*4,acc.v,32);
+  }
+}
+
+// Horner evaluation sum c[i] u^i
+void frv_horner(const u64* coeffs, const u64* u, i64 n, u64* out){
+  Fr4 uu; memcpy(uu.v,u,32);
+  Fr4 acc={{0,0,0,0}};
+  for(i64 i=n-1;i>=0;i--){
+    Fr4 c; memcpy(c.v,coeffs+i*4,32);
+    fr_mul(acc,acc,uu);
+    fr_add(acc,acc,c);
+  }
+  memcpy(out,acc.v,32);
+}
+
 // ---- fused sumcheck instance kernels ---------------------------------------
 //
 // A sumcheck instance is P rows (eq table + named polynomials, all length n)

@@ -205,7 +205,6 @@ void msm_prep_points(const uint8_t* points, int64_t n, uint8_t* out) {
 // scalars: n * 32 bytes LE; out: 64 bytes affine (canonical) + 1 inf flag
 void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
                 int c, uint8_t* out, uint8_t* out_inf) {
-  if(c<=0) c=8;
   const Fp* PX_ = (const Fp*)prep;  // interleaved [x0,y0,x1,y1,...]
   std::vector<Fp> PX(n), PY(n);
   std::vector<uint8_t> PINF(n);
@@ -221,6 +220,14 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
     }
   }
   if(maxbits==0){ memset(out,0,64); *out_inf=1; return; }
+  if(c<=0){
+    // Pippenger window: minimize windows*(n + 2*2^c) given actual bit-width
+    double best=1e30;
+    for(int cc=4;cc<=16;cc++){
+      double cost=(double)((maxbits+cc-1)/cc)*((double)n+2.0*(1<<cc));
+      if(cost<best){ best=cost; c=cc; }
+    }
+  }
   int windows=(maxbits+c-1)/c;
   int nbuckets=(1<<c)-1;
 
@@ -327,6 +334,22 @@ void g1_scalar_muls(const uint8_t* base, const uint8_t* scalars, int64_t n,
     mont_mul(ay,ay,one);
     memcpy(out+i*64, ax.v, 32);
     memcpy(out+i*64+32, ay.v, 32);
+  }
+}
+
+// Batch of independent MSMs sharing one prepared base buffer (the witness
+// commitment phase: one MSM per committed polynomial). OpenMP parallelizes
+// across the MSMs, which beats window-level parallelism when each MSM has
+// few windows (small-scalar witness data).
+// scalars: concatenated 32B-LE scalars; offsets[k]..offsets[k+1] = MSM k.
+// out: k * 65 bytes (64B affine + 1 inf flag each).
+void msm_g1_pre_batch(const uint8_t* prep, const uint8_t* scalars,
+                      const int64_t* offsets, int64_t k, uint8_t* out) {
+  #pragma omp parallel for schedule(dynamic)
+  for(int64_t i=0;i<k;i++){
+    int64_t n=offsets[i+1]-offsets[i];
+    // suppress inner parallel regions (nested) by calling the core directly
+    msm_g1_pre(prep, scalars+offsets[i]*32, n, 0, out+i*65, out+i*65+64);
   }
 }
 

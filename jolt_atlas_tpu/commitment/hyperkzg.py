@@ -76,19 +76,30 @@ class HyperKZG:
         return kzg_commit(srs, coeffs)
 
     @staticmethod
-    def open(srs: KZGSRS, coeffs: list[Fr], point: list[Fr], transcript) -> HyperKZGProof:
+    def open(srs: KZGSRS, coeffs, point: list[Fr], transcript) -> HyperKZGProof:
+        """coeffs: FrArray (native fast path) or list[Fr] (fallback)."""
+        from ..field.frvec import FrArray
         ell = len(point)
         n = len(coeffs)
         assert n == 1 << ell
 
-        polys = [list(coeffs)]
-        for i in range(ell - 1):
-            prev = polys[i]
-            x = point[ell - i - 1]
-            nxt = [prev[2 * j] + x * (prev[2 * j + 1] - prev[2 * j])
-                   for j in range(len(prev) // 2)]
-            polys.append(nxt)
-        assert len(polys[-1]) == 2
+        native = isinstance(coeffs, FrArray)
+        if native:
+            polys = [coeffs]
+            for i in range(ell - 1):
+                # P_{i+1}[j] = P_i[2j] + x * (P_i[2j+1] - P_i[2j])
+                polys.append(polys[i].bind_halves(0, point[ell - i - 1],
+                                                  interleaved=True))
+            assert len(polys[-1]) == 2
+        else:
+            polys = [list(coeffs)]
+            for i in range(ell - 1):
+                prev = polys[i]
+                x = point[ell - i - 1]
+                nxt = [prev[2 * j] + x * (prev[2 * j + 1] - prev[2 * j])
+                       for j in range(len(prev) // 2)]
+                polys.append(nxt)
+            assert len(polys[-1]) == 2
 
         com = [kzg_commit(srs, p) for p in polys[1:]]
         transcript.append_points(com)
@@ -102,14 +113,19 @@ class HyperKZG:
         q_powers = transcript.challenge_scalar_powers(len(polys))
 
         # B = sum_j q^j * polys[j] (padded to len of polys[0])
-        b = [0] * n
-        for qp, p in zip(q_powers, polys):
-            qv = qp.v
-            for idx, c in enumerate(p):
-                b[idx] = (b[idx] + qv * c.v) % FR_MODULUS
-        b_fr = [Fr(x) for x in b]
+        if native:
+            b = FrArray.zeros(n)
+            for qp, p in zip(q_powers, polys):
+                b.axpy_inplace(qp, p)
+        else:
+            bi = [0] * n
+            for qp, p in zip(q_powers, polys):
+                qv = qp.v
+                for idx, c in enumerate(p):
+                    bi[idx] = (bi[idx] + qv * c.v) % FR_MODULUS
+            b = [Fr(x) for x in bi]
 
-        w = [kzg_open_no_rem(srs, b_fr, ui) for ui in u]
+        w = [kzg_open_no_rem(srs, b, ui) for ui in u]
         transcript.append_points(w)
         transcript.challenge_scalar()  # d_0, keeps transcripts in lockstep
 

@@ -84,23 +84,32 @@ class KZGSRS:
 
 
 def kzg_commit(srs: KZGSRS, coeffs) -> G1:
-    """Commit to a coefficient vector (list of Fr or ints / numpy array)."""
+    """Commit to a coefficient vector (FrArray, list of Fr, or int array)."""
+    from ..field.frvec import FrArray
     prep = srs.prepared_bases()
     if prep is not None:
+        if isinstance(coeffs, FrArray):
+            return prep.msm_packed(coeffs.canonical().tobytes(), len(coeffs))
         if isinstance(coeffs, np.ndarray) and coeffs.dtype.kind in "iu":
             return prep.msm(coeffs)  # vectorized packing, no Fr boxing
         scalars = [c.v if isinstance(c, Fr) else int(c) for c in coeffs]
         return prep.msm(scalars)
+    if isinstance(coeffs, FrArray):
+        coeffs = coeffs.to_fr_list()
     scalars = [c.v if isinstance(c, Fr) else int(c) for c in coeffs]
     return msm(srs.g1_powers[: len(scalars)], scalars)
 
 
-def kzg_open_no_rem(srs: KZGSRS, coeffs: list[Fr], u: Fr) -> G1:
+def kzg_open_no_rem(srs: KZGSRS, coeffs, u: Fr) -> G1:
     """Witness W = commit((f(X) - f(u)) / (X - u)) via synthetic division.
 
     The remainder (= f(u)) does not affect the quotient, so it is never
     subtracted (reference kzg_batch_open_no_rem, hyperkzg/mod.rs:192).
     """
+    from ..field import frvec
+    from ..field.frvec import FrArray
+    if isinstance(coeffs, FrArray):
+        return kzg_commit(srs, frvec.syndiv(coeffs, u))
     n = len(coeffs)
     q = [0] * (n - 1)
     acc = 0  # running quotient coefficient (int arithmetic mod r)
@@ -114,8 +123,12 @@ def kzg_open_no_rem(srs: KZGSRS, coeffs: list[Fr], u: Fr) -> G1:
     return msm(srs.g1_powers[: n - 1], q)
 
 
-def eval_as_univariate(coeffs: list[Fr], u: Fr) -> Fr:
+def eval_as_univariate(coeffs, u: Fr) -> Fr:
     """Horner evaluation treating MLE evals as univariate coefficients."""
+    from ..field import frvec
+    from ..field.frvec import FrArray
+    if isinstance(coeffs, FrArray):
+        return frvec.horner(coeffs, u)
     acc = 0
     uv = u.v
     for c in reversed(coeffs):

@@ -70,6 +70,10 @@ def _load():
         lib.g1_scalar_muls.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
         lib.g1_scalar_muls.restype = None
+        lib.msm_g1_pre_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
+        lib.msm_g1_pre_batch.restype = None
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -134,15 +138,47 @@ class PreparedBases:
 
     def msm(self, scalars, n: int | None = None, c: int = 0) -> G1:
         """MSM of scalars against the first len(scalars) prepared bases."""
-        lib = _load()
         count = len(scalars) if n is None else n
         count = min(count, self.n)
         if count == 0:
             return G1.identity()
-        scs = pack_scalars(scalars[:count])
+        return self.msm_packed(pack_scalars(scalars[:count]), count, c)
+
+    def msm_batch(self, scalar_arrays: list) -> list[G1]:
+        """Independent MSMs against shared bases, OpenMP across MSMs."""
+        lib = _load()
+        packed = []
+        offsets = [0]
+        for scs in scalar_arrays:
+            b = pack_scalars(scs)
+            packed.append(b)
+            offsets.append(offsets[-1] + len(b) // 32)
+        k = len(scalar_arrays)
+        offs = (ctypes.c_int64 * (k + 1))(*offsets)
+        out = ctypes.create_string_buffer(65 * k)
+        lib.msm_g1_pre_batch(self.buf, b"".join(packed), offs, k, out)
+        pts = []
+        raw = out.raw
+        for i in range(k):
+            base = i * 65
+            if raw[base + 64]:
+                pts.append(G1.identity())
+            else:
+                x = int.from_bytes(raw[base: base + 32], "little")
+                y = int.from_bytes(raw[base + 32: base + 64], "little")
+                pts.append(G1(x, y))
+        return pts
+
+    def msm_packed(self, scalar_bytes: bytes, count: int, c: int = 0) -> G1:
+        """MSM where scalars are already in the 32B-LE wire format (e.g.
+        FrArray.canonical().tobytes())."""
+        lib = _load()
+        count = min(count, self.n)
+        if count == 0:
+            return G1.identity()
         out_buf = ctypes.create_string_buffer(64)
         inf_buf = ctypes.create_string_buffer(1)
-        lib.msm_g1_pre(self.buf, scs, count, c, out_buf, inf_buf)
+        lib.msm_g1_pre(self.buf, scalar_bytes, count, c, out_buf, inf_buf)
         return _decode_point(out_buf, inf_buf)
 
 

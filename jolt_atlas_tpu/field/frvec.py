@@ -69,6 +69,10 @@ def _load():
             ("frv_bind", [_U64, _U64, _U64, _U64, ctypes.c_int64]),
             ("frv_eval_ladder", [_U64, _U64, ctypes.c_int64, ctypes.c_int,
                                  _U64]),
+            ("frv_scatter_add", [_U64, _I64, ctypes.c_int64, _U64,
+                                 ctypes.c_int64]),
+            ("frv_syndiv", [_U64, _U64, ctypes.c_int64, _U64]),
+            ("frv_horner", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_terms_round", [_U64, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int, _U64, _I64, _I64,
                                  ctypes.c_int64, _U64]),
@@ -113,6 +117,35 @@ def _fr_limbs(x: Fr) -> np.ndarray:
     return enc
 
 
+_R1_LIMBS = None
+_SMALL_TABLE = None
+
+
+def _r1_limbs() -> np.ndarray:
+    """Montgomery form of 1 (R mod r) as a (1,4) u64 row."""
+    global _R1_LIMBS
+    if _R1_LIMBS is None:
+        one = np.array([[1, 0, 0, 0]], dtype=np.uint64)
+        enc = np.empty_like(one)
+        _load().frv_encode(one, enc, 1)
+        _R1_LIMBS = enc
+    return _R1_LIMBS
+
+
+def _small_table(n: int) -> np.ndarray:
+    """Montgomery forms of 0..n-1 (grown on demand, power-of-two sized)."""
+    global _SMALL_TABLE
+    if _SMALL_TABLE is None or len(_SMALL_TABLE) < n:
+        size = 256
+        while size < n:
+            size *= 2
+        vals = np.arange(size, dtype=np.int64)
+        out = np.empty((size, 4), dtype=np.uint64)
+        _load().frv_from_i64(vals, out, size)
+        _SMALL_TABLE = out
+    return _SMALL_TABLE
+
+
 _SCALAR_CACHE: dict[int, np.ndarray] = {}
 
 
@@ -142,6 +175,14 @@ class FrArray:
     @classmethod
     def from_i64(cls, ints) -> "FrArray":
         a = np.ascontiguousarray(np.asarray(ints).ravel(), dtype=np.int64)
+        if a.size:
+            lo = int(a.min())
+            hi = int(a.max())
+            if lo >= 0 and hi < (1 << 16):
+                # small nonneg values (chunk nibbles, one-hots, LUT outputs):
+                # gather from a cached Montgomery table — numpy memory speed
+                # instead of a mont_mul per element
+                return cls(np.ascontiguousarray(_small_table(hi + 1)[a]))
         out = np.empty((a.size, 4), dtype=np.uint64)
         _load().frv_from_i64(a, out, a.size)
         return cls(out)
@@ -180,6 +221,14 @@ class FrArray:
 
     def to_fr_list(self) -> list[Fr]:
         return [Fr(int(x)) for x in self.to_object()]
+
+    def canonical(self) -> np.ndarray:
+        """(n, 4) u64 canonical (non-Montgomery) limbs — the 32B/elem LE
+        scalar wire format shared with the MSM engine."""
+        d = _c(self.d)
+        can = np.empty_like(d)
+        _load().frv_decode(d, can, len(d))
+        return can
 
     def item(self, i: int) -> Fr:
         d = _c(self.d[i: i + 1])
@@ -345,3 +394,26 @@ class FusedInstance:
 
     def row_array(self, p: int) -> FrArray:
         return FrArray(self._rows[p][: self.n].copy())
+
+
+def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:
+    """out[k] = sum_{j: idx[j]=k} vals[j] (compute_G accumulation)."""
+    out = FrArray.zeros(K)
+    ii = np.ascontiguousarray(np.asarray(idx).ravel(), dtype=np.int64)
+    _load().frv_scatter_add(_c(vals.d), ii, len(ii), out.d, K)
+    return out
+
+
+def syndiv(coeffs: FrArray, u: Fr) -> FrArray:
+    """Quotient of (f(X) - f(u)) / (X - u) for the KZG opening witness."""
+    n = len(coeffs)
+    q = np.empty((n - 1, 4), dtype=np.uint64)
+    _load().frv_syndiv(_c(coeffs.d), _fr_limbs_cached(u), n, q)
+    return FrArray(q)
+
+
+def horner(coeffs: FrArray, u: Fr) -> Fr:
+    """sum_i coeffs[i] * u^i."""
+    out = np.zeros((1, 4), dtype=np.uint64)
+    _load().frv_horner(_c(coeffs.d), _fr_limbs_cached(u), len(coeffs), out)
+    return FrArray(out).item(0)

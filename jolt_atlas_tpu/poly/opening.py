@@ -220,7 +220,9 @@ class ProverOpeningAccumulator:
             contrib = vec.vscale(inst.rlc_fvec, delta)
             n = len(contrib)
             joint[:n] = vec.vadd(joint[:n], contrib)
-        return proof, r_sumcheck, group_claims, vec.to_fr(joint)
+        if not isinstance(joint, FrArray):
+            joint = vec.to_fr(joint)
+        return proof, r_sumcheck, group_claims, joint
 
 
 class VerifierOpeningAccumulator:

@@ -89,9 +89,16 @@ class AtlasProver:
                 ctx.chunks.update(chunks)
         commitments = {}
         with span("commit"):
-            for pid in sorted(poly_map):
-                scalars = poly_map[pid].ints
-                commitments[pid] = kzg_commit(self.pp.srs, scalars)
+            pids = sorted(poly_map)
+            prep = self.pp.srs.prepared_bases()
+            if prep is not None and pids:
+                points = prep.msm_batch([poly_map[pid].ints for pid in pids])
+                commitments = dict(zip(pids, points))
+            else:
+                for pid in pids:
+                    commitments[pid] = kzg_commit(self.pp.srs,
+                                                  poly_map[pid].ints)
+            for pid in pids:
                 transcript.append_point(commitments[pid])
 
         # --- output claims ---

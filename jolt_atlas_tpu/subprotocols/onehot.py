@@ -117,6 +117,9 @@ def compute_G(chunks_d: np.ndarray, eq_cycle, K: int = K_CHUNK) -> np.ndarray:
     The cycle-bound chunk polynomial ra_d(k, r_cycle) (reference
     compute_ra_evals, shout.rs:532+).
     """
+    from ..field import frvec
+    if isinstance(eq_cycle, frvec.FrArray):
+        return frvec.scatter_add(eq_cycle, np.asarray(chunks_d), K)
     eq_obj = vec.as_object(eq_cycle)
     G = np.zeros(K, dtype=object)
     for j, k in enumerate(chunks_d):
