@@ -1,10 +1,10 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Workload: full prove wall-clock of a nanoGPT-class transformer LM matching
-the reference benchmark model's shape (4 transformer blocks, n_embd 64,
+the reference benchmark model's shape (4 transformer blocks, 4 heads, n_embd 64,
 seq 64, vocab 65 — atlas-onnx-tracer/models/nanoGPT/gen.py:208, the model
 behind the reference's published 2.288 s prove on an M3 MacBook,
-BASELINE.md). Each block: RMS norm, single-head attention with softmax,
+BASELINE.md). Each block: RMS norm, multi-head attention with softmax,
 tanh FFN, residuals; gather embeddings + LM head.
 
 Set BENCH_SMALL=1 for a quick smoke workload (1 block, dim 16, seq 8).
@@ -29,10 +29,11 @@ def main():
     from jolt_atlas_tpu.verifier import AtlasVerifier
 
     small = os.environ.get("BENCH_SMALL", "") not in ("", "0")
-    vocab, seq, dim, blocks = (32, 8, 16, 1) if small else (65, 64, 64, 4)
+    vocab, seq, dim, blocks, heads = ((32, 8, 16, 1, 1) if small
+                                      else (65, 64, 64, 4, 4))
 
     rng = np.random.default_rng(1234)
-    model = build_model(vocab, seq, dim, blocks, 8, rng)
+    model = build_model(vocab, seq, dim, blocks, 8, rng, heads=heads)
     toks = rng.integers(0, vocab, size=seq).astype(np.int32)
 
     pp = AtlasPreprocessing.preprocess(model)

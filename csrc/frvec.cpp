@@ -329,6 +329,26 @@ void frv_horner(const u64* coeffs, const u64* u, i64 n, u64* out){
   memcpy(out,acc.v,32);
 }
 
+// out[k] = sum_e m[k*E+e] * x[e]  (m: signed ints, x: Montgomery) — binds an
+// integer dictionary against an eq table (GatherLarge / einsum operands)
+void frv_i64_mat_vec(const i64* m, const u64* x, i64 V, i64 E, u64* out){
+  #pragma omp parallel for schedule(static)
+  for(i64 k=0;k<V;k++){
+    Fr4 acc={{0,0,0,0}};
+    for(i64 e=0;e<E;e++){
+      i64 v=m[k*E+e];
+      if(!v) continue;
+      u64 mag = v<0 ? (u64)(-(u128)v) : (u64)v;
+      Fr4 c={{mag,0,0,0}};
+      Fr4 enc; fr_mul(enc,c,R2);
+      Fr4 xe; memcpy(xe.v,x+e*4,32);
+      Fr4 p; fr_mul(p,xe,enc);
+      if(v<0) fr_sub(acc,acc,p); else fr_add(acc,acc,p);
+    }
+    memcpy(out+k*4,acc.v,32);
+  }
+}
+
 // ---- fused sumcheck instance kernels ---------------------------------------
 //
 // A sumcheck instance is P rows (eq table + named polynomials, all length n)

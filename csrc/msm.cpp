@@ -337,6 +337,53 @@ void g1_scalar_muls(const uint8_t* base, const uint8_t* scalars, int64_t n,
   }
 }
 
+// Sparse one-hot MSM: commitment of a 0/1 polynomial = sum of the bases at
+// the nonzero positions (witness ra one-hots: T ones out of K*T entries).
+void msm_g1_pre_onehot(const uint8_t* prep, const int64_t* idx, int64_t T,
+                       uint8_t* out, uint8_t* out_inf) {
+  const Fp* P = (const Fp*)prep;
+  Pt total; pt_set_inf(total);
+  #pragma omp parallel
+  {
+    Pt local; pt_set_inf(local);
+    #pragma omp for schedule(static) nowait
+    for(int64_t j=0;j<T;j++){
+      pt_add_affine(local, local, P[2*idx[j]], P[2*idx[j]+1]);
+    }
+    #pragma omp critical
+    pt_add(total, total, local);
+  }
+  if(pt_is_inf(total)){ memset(out,0,64); *out_inf=1; return; }
+  Fp qm2=Q_MOD;
+  { u128 borrow=0; u64 two=2;
+    for(int i=0;i<4;i++){
+      u128 d=(u128)qm2.v[i]-(i==0?two:0)-borrow;
+      qm2.v[i]=(u64)d; borrow=(d>>64)&1;
+    } }
+  Fp zinv; mont_pow(zinv,total.Z,qm2);
+  Fp z2; mont_sqr(z2,zinv);
+  Fp z3; mont_mul(z3,z2,zinv);
+  Fp ax,ay,one={{1,0,0,0}};
+  mont_mul(ax,total.X,z2);
+  mont_mul(ay,total.Y,z3);
+  mont_mul(ax,ax,one);
+  mont_mul(ay,ay,one);
+  memcpy(out, ax.v, 32);
+  memcpy(out+32, ay.v, 32);
+  *out_inf=0;
+}
+
+// Batch of one-hot MSMs (offsets into a concatenated index array).
+void msm_g1_pre_onehot_batch(const uint8_t* prep, const int64_t* idx,
+                             const int64_t* offsets, int64_t k,
+                             uint8_t* out) {
+  #pragma omp parallel for schedule(dynamic)
+  for(int64_t i=0;i<k;i++){
+    msm_g1_pre_onehot(prep, idx+offsets[i], offsets[i+1]-offsets[i],
+                      out+i*65, out+i*65+64);
+  }
+}
+
 // Batch of independent MSMs sharing one prepared base buffer (the witness
 // commitment phase: one MSM per committed polynomial). OpenMP parallelizes
 // across the MSMs, which beats window-level parallelism when each MSM has

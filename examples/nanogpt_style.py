@@ -16,10 +16,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build_model(vocab, seq, dim, blocks, scale, rng):
+def build_model(vocab, seq, dim, blocks, scale, rng, heads=1):
     from jolt_atlas_tpu.frontend import ModelBuilder
     from jolt_atlas_tpu.frontend.quantize import quantize_tensor
 
+    assert dim % heads == 0
+    hd = dim // heads
     vp = 1
     while vp < vocab:
         vp *= 2
@@ -34,15 +36,25 @@ def build_model(vocab, seq, dim, blocks, scale, rng):
         # RMS norm
         mos = b.mean_of_squares(x, [1])
         xn = b.mul(x, b.broadcast(b.rsqrt(mos), [seq, dim]))
-        # single-head attention
+        # attention (single- or multi-head)
         wq = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
         wk = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
         wv = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
         q = b.matmul(xn, wq)
         k = b.matmul(xn, wk)
         v = b.matmul(xn, wv)
-        att = b.softmax_last_axis(b.einsum("mk,nk->mn", [q, k]))
-        x = b.add(x, b.matmul(att, v))
+        if heads == 1:
+            att = b.softmax_last_axis(b.einsum("mk,nk->mn", [q, k]))
+            y = b.matmul(att, v)
+        else:
+            qh = b.move_axis(b.reshape(q, [seq, heads, hd]), 1, 0)
+            kh = b.move_axis(b.reshape(k, [seq, heads, hd]), 1, 0)
+            vh = b.move_axis(b.reshape(v, [seq, heads, hd]), 1, 0)
+            att = b.softmax_last_axis(b.einsum("hmk,hnk->hmn", [qh, kh]))
+            ctx = b.einsum("hmn,hnk->hmk", [att, vh])
+            y = b.reshape(b.move_axis(ctx, 0, 1), [seq, dim])
+        wo = b.constant(quantize_tensor(rng.normal(size=(dim, dim)) * 0.3, scale))
+        x = b.add(x, b.matmul(y, wo))
         # FFN with tanh
         w1 = b.constant(quantize_tensor(rng.normal(size=(dim, 2 * dim)) * 0.3, scale))
         w2 = b.constant(quantize_tensor(rng.normal(size=(2 * dim, dim)) * 0.3, scale))
@@ -62,6 +74,7 @@ def main():
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--seq", type=int, default=8)
     ap.add_argument("--vocab", type=int, default=32)
+    ap.add_argument("--heads", type=int, default=1)
     ap.add_argument("--gen", type=int, default=4, help="greedy tokens to generate")
     ap.add_argument("--trace", action="store_true")
     args = ap.parse_args()
@@ -76,7 +89,8 @@ def main():
         profiling.enable()
 
     rng = np.random.default_rng(42)
-    model = build_model(args.vocab, args.seq, args.dim, args.blocks, 8, rng)
+    model = build_model(args.vocab, args.seq, args.dim, args.blocks, 8, rng,
+                        heads=args.heads)
     print(f"model: {len(model.graph.nodes)} nodes, {args.blocks} blocks, "
           f"dim {args.dim}, seq {args.seq}, vocab {args.vocab}")
 

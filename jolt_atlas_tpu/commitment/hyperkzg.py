@@ -28,6 +28,10 @@ from ..curve.points import G1
 from .kzg import KZGSRS, eval_as_univariate, kzg_commit, kzg_open_no_rem
 
 
+def _msm_batch_packed(prep, packed: list[bytes]):
+    return prep.msm_batch_packed(packed)
+
+
 class HyperKZGProof:
     def __init__(self, com: list[G1], w: list[G1], v: list[list[Fr]]):
         self.com = com  # ell - 1 fold commitments
@@ -101,7 +105,13 @@ class HyperKZG:
                 polys.append(nxt)
             assert len(polys[-1]) == 2
 
-        com = [kzg_commit(srs, p) for p in polys[1:]]
+        prep = srs.prepared_bases()
+        if native and prep is not None and len(polys) > 1:
+            # all folds exist before any is absorbed: one batched MSM call
+            packed = [p.canonical().tobytes() for p in polys[1:]]
+            com = _msm_batch_packed(prep, packed)
+        else:
+            com = [kzg_commit(srs, p) for p in polys[1:]]
         transcript.append_points(com)
         r = transcript.challenge_scalar()
         u = [r, Fr.zero() - r, r * r]
@@ -125,7 +135,12 @@ class HyperKZG:
                     bi[idx] = (bi[idx] + qv * c.v) % FR_MODULUS
             b = [Fr(x) for x in bi]
 
-        w = [kzg_open_no_rem(srs, b, ui) for ui in u]
+        if native and prep is not None:
+            from ..field import frvec
+            packed = [frvec.syndiv(b, ui).canonical().tobytes() for ui in u]
+            w = _msm_batch_packed(prep, packed)
+        else:
+            w = [kzg_open_no_rem(srs, b, ui) for ui in u]
         transcript.append_points(w)
         transcript.challenge_scalar()  # d_0, keeps transcripts in lockstep
 

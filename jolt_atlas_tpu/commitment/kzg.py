@@ -25,10 +25,12 @@ from ..curve.points import G1, G2, g1_generator, g2_generator
 class KZGSRS:
     """g1_powers[i] = tau^i * G1; g2 = G2; beta_g2 = tau * G2."""
 
-    def __init__(self, g1_powers: list[G1], g2: G2, beta_g2: G2):
+    def __init__(self, g1_powers: list[G1], g2: G2, beta_g2: G2,
+                 raw_points: bytes | None = None):
         self.g1_powers = g1_powers
         self.g2 = g2
         self.beta_g2 = beta_g2
+        self._raw_points = raw_points
         self._prepared = None
         self._prepared_failed = False
 
@@ -38,7 +40,8 @@ class KZGSRS:
         if self._prepared is None and not self._prepared_failed:
             from ..curve import native
             if native.available():
-                self._prepared = native.PreparedBases(self.g1_powers)
+                self._prepared = native.PreparedBases(
+                    self.g1_powers, raw=self._raw_points)
             else:
                 self._prepared_failed = True
         return self._prepared
@@ -53,12 +56,14 @@ class KZGSRS:
         for _ in range(max_degree + 1):
             scalars.append(acc)
             acc = acc * tau % FR_MODULUS
-        from ..curve.native import scalar_muls_native
-        powers = scalar_muls_native(g, scalars)
-        if powers is None:
+        from ..curve.native import points_from_raw, scalar_muls_native_raw
+        raw = scalar_muls_native_raw(g, scalars)
+        if raw is not None:
+            powers = points_from_raw(raw)
+        else:
             powers = [g * s for s in scalars]
         h = g2_generator()
-        return cls(powers, h, h * tau)
+        return cls(powers, h, h * tau, raw_points=raw)
 
     def max_degree(self) -> int:
         return len(self.g1_powers) - 1
@@ -74,13 +79,33 @@ class KZGSRS:
     def deserialize(cls, data: bytes) -> "KZGSRS":
         n = int.from_bytes(data[:8], "little")
         off = 8
+        raw = data[off: off + 64 * n]
         powers = []
         for _ in range(n):
             powers.append(G1.deserialize(data[off:off + 64]))
             off += 64
         g2 = G2.deserialize(data[off:off + 128])
         beta = G2.deserialize(data[off + 128:off + 256])
-        return cls(powers, g2, beta)
+        return cls(powers, g2, beta, raw_points=bytes(raw))
+
+    def save(self, path: str) -> None:
+        """Persist a ceremony/generated SRS (reference hyperkzg/mod.rs:60-100
+        save/load)."""
+        with open(path, "wb") as f:
+            f.write(self.serialize())
+
+    @classmethod
+    def load(cls, path: str) -> "KZGSRS":
+        with open(path, "rb") as f:
+            return cls.deserialize(f.read())
+
+    def trim(self, max_degree: int) -> "KZGSRS":
+        """Prefix SRS for a smaller circuit (reference SRS::trim)."""
+        assert max_degree + 1 <= len(self.g1_powers)
+        raw = (self._raw_points[: 64 * (max_degree + 1)]
+               if self._raw_points is not None else None)
+        return KZGSRS(self.g1_powers[: max_degree + 1], self.g2, self.beta_g2,
+                      raw_points=raw)
 
 
 def kzg_commit(srs: KZGSRS, coeffs) -> G1:

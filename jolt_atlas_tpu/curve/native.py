@@ -74,6 +74,10 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
         lib.msm_g1_pre_batch.restype = None
+        lib.msm_g1_pre_onehot_batch.argtypes = [
+            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64, flags="C"),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
+        lib.msm_g1_pre_onehot_batch.restype = None
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -125,14 +129,18 @@ def pack_scalars(scalars) -> bytes:
 
 
 class PreparedBases:
-    """Montgomery-encoded point buffer reusable across MSM calls."""
+    """Montgomery-encoded point buffer reusable across MSM calls.
 
-    def __init__(self, bases: list[G1]):
+    `raw` (canonical 64B/point bytes) skips the Python packing loop when the
+    caller already has the wire form (e.g. native SRS generation)."""
+
+    def __init__(self, bases: list[G1] | None, raw: bytes | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native MSM library unavailable")
-        self.n = len(bases)
-        raw = pack_points(bases)
+        if raw is None:
+            raw = pack_points(bases)
+        self.n = len(raw) // 64
         self.buf = ctypes.create_string_buffer(64 * self.n)
         lib.msm_prep_points(raw, self.n, self.buf)
 
@@ -146,14 +154,41 @@ class PreparedBases:
 
     def msm_batch(self, scalar_arrays: list) -> list[G1]:
         """Independent MSMs against shared bases, OpenMP across MSMs."""
+        return self.msm_batch_packed([pack_scalars(s) for s in scalar_arrays])
+
+    def msm_onehot_batch(self, index_arrays: list[np.ndarray]) -> list[G1]:
+        """Batch of one-hot subset-sum MSMs (indices of the 1-entries)."""
         lib = _load()
-        packed = []
         offsets = [0]
-        for scs in scalar_arrays:
-            b = pack_scalars(scs)
-            packed.append(b)
+        for a in index_arrays:
+            offsets.append(offsets[-1] + len(a))
+        idx = np.ascontiguousarray(
+            np.concatenate([np.asarray(a, dtype=np.int64)
+                            for a in index_arrays])
+            if index_arrays else np.empty(0, dtype=np.int64))
+        k = len(index_arrays)
+        offs = (ctypes.c_int64 * (k + 1))(*offsets)
+        out = ctypes.create_string_buffer(65 * k)
+        lib.msm_g1_pre_onehot_batch(self.buf, idx, offs, k, out)
+        pts = []
+        raw = out.raw
+        for i in range(k):
+            base = i * 65
+            if raw[base + 64]:
+                pts.append(G1.identity())
+            else:
+                x = int.from_bytes(raw[base: base + 32], "little")
+                y = int.from_bytes(raw[base + 32: base + 64], "little")
+                pts.append(G1(x, y))
+        return pts
+
+    def msm_batch_packed(self, packed: list[bytes]) -> list[G1]:
+        """Like msm_batch but scalars already in 32B-LE wire form."""
+        lib = _load()
+        offsets = [0]
+        for b in packed:
             offsets.append(offsets[-1] + len(b) // 32)
-        k = len(scalar_arrays)
+        k = len(packed)
         offs = (ctypes.c_int64 * (k + 1))(*offsets)
         out = ctypes.create_string_buffer(65 * k)
         lib.msm_g1_pre_batch(self.buf, b"".join(packed), offs, k, out)
@@ -190,8 +225,8 @@ def _decode_point(out_buf, inf_buf) -> G1:
     return G1(x, y)
 
 
-def scalar_muls_native(base: G1, scalars: list[int]) -> list[G1] | None:
-    """[s * base for s in scalars] via the native engine (None if absent)."""
+def scalar_muls_native_raw(base: G1, scalars: list[int]) -> bytes | None:
+    """Raw canonical 64B/point buffer of [s * base for s in scalars]."""
     lib = _load()
     if lib is None or base.infinity:
         return None
@@ -200,13 +235,22 @@ def scalar_muls_native(base: G1, scalars: list[int]) -> list[G1] | None:
     scs = pack_scalars(scalars)
     out = ctypes.create_string_buffer(64 * n)
     lib.g1_scalar_muls(b, scs, n, out)
+    return out.raw
+
+
+def points_from_raw(raw: bytes) -> list[G1]:
     pts = []
-    raw = out.raw
-    for i in range(n):
+    for i in range(len(raw) // 64):
         x = int.from_bytes(raw[i * 64: i * 64 + 32], "little")
         y = int.from_bytes(raw[i * 64 + 32: i * 64 + 64], "little")
         pts.append(G1.identity() if x == 0 and y == 0 else G1(x, y))
     return pts
+
+
+def scalar_muls_native(base: G1, scalars: list[int]) -> list[G1] | None:
+    """[s * base for s in scalars] via the native engine (None if absent)."""
+    raw = scalar_muls_native_raw(base, scalars)
+    return None if raw is None else points_from_raw(raw)
 
 
 def msm_native(bases: list[G1], scalars, c: int = 0) -> G1 | None:

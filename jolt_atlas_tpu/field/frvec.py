@@ -71,6 +71,8 @@ def _load():
                                  _U64]),
             ("frv_scatter_add", [_U64, _I64, ctypes.c_int64, _U64,
                                  ctypes.c_int64]),
+            ("frv_i64_mat_vec", [_I64, _U64, ctypes.c_int64, ctypes.c_int64,
+                                 _U64]),
             ("frv_syndiv", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_horner", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_terms_round", [_U64, ctypes.c_int64, ctypes.c_int64,
@@ -417,3 +419,14 @@ def horner(coeffs: FrArray, u: Fr) -> Fr:
     out = np.zeros((1, 4), dtype=np.uint64)
     _load().frv_horner(_c(coeffs.d), _fr_limbs_cached(u), len(coeffs), out)
     return FrArray(out).item(0)
+
+
+def i64_mat_vec(m: np.ndarray, x: FrArray) -> FrArray:
+    """out[k] = sum_e m[k, e] * x[e] — bind an integer matrix against a
+    field vector (dictionary/eq binding for GatherLarge)."""
+    mm = np.ascontiguousarray(m, dtype=np.int64)
+    V, E = mm.shape
+    assert len(x) == E
+    out = np.empty((V, 4), dtype=np.uint64)
+    _load().frv_i64_mat_vec(mm.reshape(-1), _c(x.d), V, E, out)
+    return FrArray(out)

@@ -58,9 +58,23 @@ class ComputationGraph:
 
     def node_committed_poly_num_vars(self, node: ComputationNode) -> int:
         """Upper bound on log2-size of the largest committed polynomial for a
-        node (reference model/mod.rs:263-328). Conservative default: the
-        one-hot RaD polynomials have K_CHUNK * T coefficients."""
+        node (reference model/mod.rs:263-328). Default: the one-hot RaD
+        polynomials have K_CHUNK * T coefficients. Inputs/constants commit
+        nothing (they are public), so giant embedding tables do not inflate
+        the SRS; GatherSmall commits the (V, T_idx) one-hot, GatherLarge only
+        4-bit chunks."""
         from ..config import LOG_K_CHUNK
+        from . import ops as OPS
+        op = node.operator
+        if isinstance(op, (OPS.Input, OPS.Constant)):
+            return 0
+        if isinstance(op, (OPS.GatherSmall, OPS.GatherLarge)):
+            t_idx = (self.nodes[node.inputs[1]].padded_output_len()
+                     .bit_length() - 1)
+            if isinstance(op, OPS.GatherSmall):
+                V = self.nodes[node.inputs[0]].output_dims[0]
+                return max(1, V - 1).bit_length() + t_idx
+            return LOG_K_CHUNK + t_idx
         t_vars = node.padded_output_len().bit_length() - 1
         return t_vars + LOG_K_CHUNK
 

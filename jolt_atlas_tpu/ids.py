@@ -40,6 +40,9 @@ _COMMITTED_TAGS = [
     "RescaleRemainderRaD",      # (node, d)
     # --- extensions beyond the reference enum (this implementation) ---
     "SoftmaxExpQDense",         # (node,) dense committed exp_q advice
+    "ClampIndicator",           # (node,) dense 0/1 advice: [x >= max - C]
+    "ClampSpreadRaD",           # (node, d) |x - (max-C)| side-distance chunks
+    "ClampMaxDiffRaD",          # (node, d) max - x dominance chunks
 ]
 
 _VIRTUAL_TAGS = [
@@ -53,6 +56,8 @@ _VIRTUAL_TAGS = [
     "SoftmaxZHiRa", "SoftmaxZLoRa", "SoftmaxSatDiff", "SoftmaxSatDiffRa",
     "SoftmaxRecipMultRemainder", "NTEvalShiftOutput", "ClampAcc", "ClampRa",
     "RescaleRemainder", "RescaleRemainderRa", "DummyClampedTanhInput",
+    # --- extensions beyond the reference enum (this implementation) ---
+    "GatherLargeRa",
 ]
 
 _SUMCHECK_TAGS = [

@@ -35,7 +35,7 @@ class BindingOrder(enum.Enum):
 class MLPoly:
     """A multilinear polynomial given by its 2^n hypercube evaluations."""
 
-    def __init__(self, ints=None, fvec=None):
+    def __init__(self, ints=None, fvec=None, onehot_indices=None):
         if ints is not None:
             ints = np.asarray(ints)
             assert ints.ndim == 1
@@ -49,6 +49,10 @@ class MLPoly:
             self.ints = None
             self.fvec = vec.as_native(fvec)
             self._len = len(fvec)
+        # sparse descriptor: flat positions of the 1-entries (one-hot ra
+        # polys) — lets the opening RLC scatter gamma instead of axpy-ing
+        # the whole dense vector
+        self.onehot_indices = onehot_indices
 
     # -- basics ------------------------------------------------------------
     def __len__(self) -> int:

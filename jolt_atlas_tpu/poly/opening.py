@@ -80,11 +80,22 @@ class _GroupReductionProver(SumcheckInstanceProver):
         self.rlc_fvec = None              # kept for the joint materialization
 
     def prepare(self, poly_map):
+        from ..field import frvec
         from ..field.frvec import FrArray
         n = 1 << len(self.point)
         acc = vec.zeros(n)
         for j, p in self.members:
-            f = poly_map[p.poly_id].to_field()
+            src_poly = poly_map[p.poly_id]
+            if (isinstance(acc, FrArray)
+                    and getattr(src_poly, "onehot_indices", None) is not None
+                    and src_poly.fvec is None):
+                idx = src_poly.onehot_indices
+                gam = FrArray.full(len(idx), self.gamma_powers[j])
+                frvec._load().frv_scatter_add(
+                    frvec._c(gam.d), np.ascontiguousarray(idx, np.int64),
+                    len(idx), acc.d, len(acc))
+                continue
+            f = src_poly.to_field()
             if isinstance(acc, FrArray) and isinstance(f, FrArray):
                 acc.axpy_inplace(self.gamma_powers[j], f)
                 continue

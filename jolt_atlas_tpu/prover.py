@@ -92,8 +92,17 @@ class AtlasProver:
             pids = sorted(poly_map)
             prep = self.pp.srs.prepared_bases()
             if prep is not None and pids:
-                points = prep.msm_batch([poly_map[pid].ints for pid in pids])
-                commitments = dict(zip(pids, points))
+                oh_pids = [p for p in pids
+                           if poly_map[p].onehot_indices is not None]
+                dn_pids = [p for p in pids
+                           if poly_map[p].onehot_indices is None]
+                if oh_pids:  # sparse subset-sum commits for one-hot ra polys
+                    pts = prep.msm_onehot_batch(
+                        [poly_map[p].onehot_indices for p in oh_pids])
+                    commitments.update(zip(oh_pids, pts))
+                if dn_pids:
+                    pts = prep.msm_batch([poly_map[p].ints for p in dn_pids])
+                    commitments.update(zip(dn_pids, pts))
             else:
                 for pid in pids:
                     commitments[pid] = kzg_commit(self.pp.srs,

@@ -56,7 +56,22 @@ def one_hot_poly(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
     T = len(chunks_d)
     arr = np.zeros((K, T), dtype=np.int64)
     arr[chunks_d, np.arange(T)] = 1
-    return MLPoly(ints=arr.reshape(-1))
+    flat_idx = np.asarray(chunks_d, dtype=np.int64) * T + np.arange(T)
+    return MLPoly(ints=arr.reshape(-1), onehot_indices=flat_idx)
+
+
+def one_hot_fvec(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
+    """Field-vector one-hot built by scattering Montgomery(1) rows — avoids
+    materializing and converting the K*T int array (the prover-side fast
+    path for Booleanity clones and similar read-only uses)."""
+    from ..field import frvec, vec
+    if not vec.native_available():
+        return one_hot_poly(chunks_d, K)
+    T = len(chunks_d)
+    d = np.zeros((K * T, 4), dtype=np.uint64)
+    flat_idx = np.asarray(chunks_d, dtype=np.int64) * T + np.arange(T)
+    d[flat_idx] = frvec._r1_limbs()[0]
+    return MLPoly(fvec=frvec.FrArray(d))
 
 
 # tiny 16-entry tables (as int vectors); MLE evaluation via MLPoly
@@ -217,11 +232,13 @@ class BooleanityProver(RowsInstance, SumcheckInstanceProver):
 
     def __init__(self, poly_ids: list[CommittedPoly], ra_polys: list[MLPoly],
                  r_b: list[Fr], gammas: list[Fr]):
+        # NOTE: takes ownership of ra_polys (binding mutates them) — callers
+        # pass freshly built one-hots (build_ra_checks_provers, gather).
         self.poly_ids = poly_ids
         self.r_b = r_b
         self.gammas = gammas
         self._rounds = len(r_b)
-        rows = [MLPoly(fvec=eq_evals(r_b))] + [p.clone() for p in ra_polys]
+        rows = [MLPoly(fvec=eq_evals(r_b))] + list(ra_polys)
         terms = []
         for d, gamma in enumerate(gammas):
             terms.append((gamma, [0, d + 1, d + 1]))

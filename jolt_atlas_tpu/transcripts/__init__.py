@@ -1,3 +1,4 @@
 from .blake2b import Blake2bTranscript
+from .keccak import KeccakTranscript
 
-__all__ = ["Blake2bTranscript"]
+__all__ = ["Blake2bTranscript", "KeccakTranscript"]

@@ -36,9 +36,11 @@ def _blake2b256(data: bytes) -> bytes:
 class Blake2bTranscript:
     __slots__ = ("state", "n_rounds", "state_history", "expected_state_history")
 
+    HASH = staticmethod(_blake2b256)
+
     def __init__(self, label: bytes):
         assert len(label) <= 32, "transcript label must fit in 32 bytes"
-        self.state = _blake2b256(label.ljust(32, b"\x00"))
+        self.state = self.HASH(label.ljust(32, b"\x00"))
         self.n_rounds = 0
         self.state_history: list[bytes] = [self.state]
         self.expected_state_history: list[bytes] | None = None
@@ -67,14 +69,14 @@ class Blake2bTranscript:
     # -- absorb ------------------------------------------------------------
     def append_message(self, msg: bytes) -> None:
         assert len(msg) <= 32
-        self._update(_blake2b256(self._prefix() + msg.ljust(32, b"\x00")))
+        self._update(self.HASH(self._prefix() + msg.ljust(32, b"\x00")))
 
     def append_bytes(self, data: bytes) -> None:
-        self._update(_blake2b256(self._prefix() + data))
+        self._update(self.HASH(self._prefix() + data))
 
     def append_u64(self, x: int) -> None:
         self._update(
-            _blake2b256(self._prefix() + b"\x00" * 24 + int(x).to_bytes(8, "big"))
+            self.HASH(self._prefix() + b"\x00" * 24 + int(x).to_bytes(8, "big"))
         )
 
     def append_scalar(self, scalar: Fr) -> None:
@@ -105,7 +107,7 @@ class Blake2bTranscript:
 
     # -- squeeze -----------------------------------------------------------
     def challenge_bytes32(self) -> bytes:
-        rand = _blake2b256(self._prefix())
+        rand = self.HASH(self._prefix())
         self._update(rand)
         return rand
 

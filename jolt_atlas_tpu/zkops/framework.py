@@ -297,7 +297,7 @@ def build_ra_checks_provers(node_idx: int, families: list[tuple[ChunkFamily, dic
     for fam, _ in families:
         for d in range(fam.num_chunks):
             all_ids.append(fam.poly_id_fn(d))
-            all_ras.append(onehot.one_hot_poly(fam.chunks[d]))
+            all_ras.append(onehot.one_hot_fvec(fam.chunks[d]))
     gammas = transcript.challenge_vector(len(all_ids))
     r_b = transcript.challenge_vector_optimized(LOG_K_CHUNK + log_t)
     instances = [onehot.BooleanityProver(all_ids, all_ras, r_b, gammas)]

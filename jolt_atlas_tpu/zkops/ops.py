@@ -154,13 +154,24 @@ def node_witness(node, model, trace):
     elif isinstance(op, (FOPS.GatherSmall, FOPS.GatherLarge)):
         idx = padded_flat(trace.node_outputs[node.inputs[1]]).astype(np.int64)
         V = trace.node_outputs[node.inputs[0]].shape[0]
-        polys[CommittedPoly.make("GatherRa", node.idx)] = \
-            onehot.one_hot_poly(idx, K=V)
+        if isinstance(op, FOPS.GatherLarge):
+            D = _gather_large_chunks(V)
+            fam("GatherRaD", idx.astype(np.uint64), D)
+        else:
+            polys[CommittedPoly.make("GatherRa", node.idx)] = \
+                onehot.one_hot_poly(idx, K=V)
     elif isinstance(op, FOPS.ScalarConstDiv):
         x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
         rem = np.mod(x, op.divisor)
         fam("ScalarConstDivNodeRemainder", rem.astype(np.uint64),
             _scdiv_chunks(op.divisor))
+    elif isinstance(op, FOPS.Clamp):
+        x = trace.node_outputs[node.inputs[0]]
+        _, x2, F_n, N, max_k, argmax_k, b, u, z = _clamp_pieces(op, x)
+        fam("ClampSpreadRaD", u.reshape(-1).astype(np.uint64), 8)
+        fam("ClampMaxDiffRaD", z.reshape(-1).astype(np.uint64), 8)
+        polys[CommittedPoly.make("ClampIndicator", node.idx)] = \
+            MLPoly(ints=b.reshape(-1))
     elif isinstance(op, (FOPS.Tanh, FOPS.Erf, FOPS.Sigmoid)):
         fam_tag, _ = _ACT_FAMILY[type(op)]
         x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
@@ -1154,7 +1165,169 @@ class GatherReadRafVerifier(SumcheckInstanceVerifier):
         return ra_claim * (dict_claim + self.gamma * ident)
 
 
+def _gather_large_chunks(V: int) -> int:
+    return (max(V - 1, 1).bit_length() + 3) // 4
+
+
+def _gather_large_ra_id(node_idx):
+    return OpeningId.virtual(VirtualPoly.make("GatherLargeRa", node_idx),
+                             SumcheckId.make("Raf"))
+
+
+class GatherLargeReadRafProver(GatherReadRafProver):
+    """Vocab-scale gather read-raf: the full ra claim is virtual, later
+    proven by RaVirtualization over committed 4-bit GatherRaD chunks
+    (reference ops/gather/large.rs h-indices decomposition).
+
+    The dictionary is zero-padded from V (pow2) rows to 16^D for the chunk
+    address space; its opening is rescaled onto the ORIGINAL constant MLE:
+    padded(r_v, r_e) = prod_{extra high vars}(1 - r) * orig(r_v[extra:], r_e).
+    """
+
+    def __init__(self, node, G, val, dict_bound, claim, r_i, r_e,
+                 dict_producer, extra_vars: int):
+        super().__init__(node, G, val, dict_bound, claim, r_i, r_e,
+                         dict_producer)
+        self.extra_vars = extra_vars
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_v = list(r)
+        accumulator.append_virtual(
+            transcript, _gather_large_ra_id(self.node.idx),
+            r_v + self.r_i, self.row_final(0))
+        one = Fr.one()
+        prefix = one
+        for ri in r_v[: self.extra_vars]:
+            prefix = prefix * (one - ri)
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.dict_producer),
+            r_v[self.extra_vars:] + self.r_e,
+            self.row_final(2) * prefix.inverse())
+
+
+class GatherLargeReadRafVerifier(GatherReadRafVerifier):
+    def __init__(self, node, log_v, gamma, claim, r_i, r_e, dict_producer,
+                 extra_vars: int):
+        super().__init__(node, log_v, gamma, claim, r_i, r_e, dict_producer)
+        self.extra_vars = extra_vars
+
+    def cache_openings(self, accumulator, transcript, r):
+        r_v = list(r)
+        accumulator.append_virtual(
+            transcript, _gather_large_ra_id(self.node.idx), r_v + self.r_i)
+        accumulator.append_virtual(
+            transcript, input_opening_id(self.node.idx, 0, self.dict_producer),
+            r_v[self.extra_vars:] + self.r_e)
+
+    def expected_output_claim(self, accumulator, r):
+        ra_claim = accumulator.get_opening(
+            _gather_large_ra_id(self.node.idx))[1]
+        dict_claim = accumulator.get_opening(
+            input_opening_id(self.node.idx, 0, self.dict_producer))[1]
+        one = Fr.one()
+        prefix = one
+        for ri in list(r)[: self.extra_vars]:
+            prefix = prefix * (one - ri)
+        ident = Fr.zero()
+        for i, ri in enumerate(r):
+            ident = ident + ri * Fr(1 << (len(r) - 1 - i))
+        return ra_claim * (prefix * dict_claim + self.gamma * ident)
+
+
+def _prove_gather_large(node, ctx, r, out_claim):
+    dict_in = ctx.trace.node_outputs[node.inputs[0]]
+    idx_in = padded_flat(ctx.trace.node_outputs[node.inputs[1]]).astype(np.int64)
+    V = dict_in.shape[0]
+    D = _gather_large_chunks(V)
+    Vp = 16 ** D
+    n = len(idx_in)
+    log_n = n.bit_length() - 1
+    r_i, r_e = list(r)[:log_n], list(r)[log_n:]
+    gamma = ctx.transcript.challenge_scalar()
+    idx_claim = MLPoly(ints=idx_in).evaluate(r_i)
+    ctx.accumulator.append_virtual(
+        ctx.transcript, input_opening_id(node.idx, 1, node.inputs[1]), r_i,
+        idx_claim)
+    claim = out_claim + gamma * idx_claim
+
+    eq_i = eq_evals(r_i)
+    G = onehot.compute_G(idx_in, eq_i, K=Vp)
+    eq_e = eq_evals(r_e)
+    E = max(1, int(np.prod(dict_in.shape[1:])))
+    dict_flat = np.zeros((Vp, E), dtype=np.int64)
+    dict_flat[:V] = dict_in.reshape(V, E)
+    from ..field import frvec
+    if vec.native_available() and isinstance(eq_e, frvec.FrArray):
+        dict_bound = frvec.i64_mat_vec(dict_flat, eq_e)
+    else:
+        dobj = dict_flat.astype(object) % vec.R
+        dict_bound = np.einsum("ve,e->v", dobj, vec.as_object(eq_e)) % vec.R
+    identf = vec.from_ints(np.arange(Vp, dtype=np.int64))
+    val = vec.vadd(dict_bound, vec.vscale(identf, gamma))
+
+    log_v = max(V - 1, 1).bit_length()
+    inst = GatherLargeReadRafProver(
+        node, MLPoly(fvec=G.copy()), MLPoly(fvec=val),
+        MLPoly(fvec=dict_bound.copy()), claim, r_i, r_e, node.inputs[0],
+        extra_vars=4 * D - log_v)
+    proof, _ = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+    # virtual full-ra -> committed chunk product
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_gather_large_ra_id(node.idx))
+    r_v, r_cyc = ra_pt[: 4 * D], ra_pt[4 * D:]
+    gchunks = ctx.chunks[(node.idx, "GatherRaD")]
+    rv = onehot.RaVirtualizationProver(
+        lambda d: CommittedPoly.make("GatherRaD", node.idx, d), D, gchunks,
+        r_v, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    vproof, _ = Sumcheck.prove(rv, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaVirtual")] = vproof
+
+    fams = [(ChunkFamily(lambda d: CommittedPoly.make("GatherRaD", node.idx, d),
+                         D, gchunks), {})]
+    ra_inst = build_ra_checks_provers(node.idx, fams, r_i,
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+
+def _verify_gather_large(node, ctx, r, out_claim):
+    V = tuple(ctx.node(node.inputs[0]).output_dims)[0]
+    D = _gather_large_chunks(V)
+    n = ctx.padded_len(node.inputs[1])
+    log_n = n.bit_length() - 1
+    r_i, r_e = list(r)[:log_n], list(r)[log_n:]
+    gamma = ctx.transcript.challenge_scalar()
+    oid_idx = input_opening_id(node.idx, 1, node.inputs[1])
+    ctx.accumulator.append_virtual(ctx.transcript, oid_idx, r_i)
+    idx_claim = ctx.accumulator.get_opening(oid_idx)[1]
+    claim = out_claim + gamma * idx_claim
+    log_v = max(V - 1, 1).bit_length()
+    inst = GatherLargeReadRafVerifier(node, 4 * D, gamma, claim, r_i, r_e,
+                                      node.inputs[0],
+                                      extra_vars=4 * D - log_v)
+    Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                    ctx.accumulator, ctx.transcript)
+
+    ra_pt, ra_claim = ctx.accumulator.get_opening(_gather_large_ra_id(node.idx))
+    r_v, r_cyc = ra_pt[: 4 * D], ra_pt[4 * D:]
+    rvv = onehot.RaVirtualizationVerifier(
+        lambda d: CommittedPoly.make("GatherRaD", node.idx, d), D,
+        r_v, r_cyc, ra_claim, SumcheckId.make("RaVirtualization"))
+    Sumcheck.verify(ctx.proofs[(node.idx, "RaVirtual")], rvv,
+                    ctx.accumulator, ctx.transcript)
+
+    fams = [(ChunkFamily(lambda d: CommittedPoly.make("GatherRaD", node.idx, d),
+                         D, None), {})]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, r_i,
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+
 def _prove_gather(node, ctx, r, out_claim):
+    if isinstance(node.operator, FOPS.GatherLarge):
+        return _prove_gather_large(node, ctx, r, out_claim)
     dict_in = ctx.trace.node_outputs[node.inputs[0]]
     idx_in = padded_flat(ctx.trace.node_outputs[node.inputs[1]])
     V = dict_in.shape[0]
@@ -1186,7 +1359,7 @@ def _prove_gather(node, ctx, r, out_claim):
     ctx.proofs[(node.idx, "Execution")] = proof
 
     # one-hot validity for GatherRa: hamming + booleanity over (V, n)
-    ra_poly = onehot.one_hot_poly(idx_in.astype(np.int64), K=V)
+    ra_poly = onehot.one_hot_fvec(idx_in.astype(np.int64), K=V)
     gammas = ctx.transcript.challenge_vector(1)
     r_b = ctx.transcript.challenge_vector_optimized(ra_poly.num_vars)
     pid = CommittedPoly.make("GatherRa", node.idx)
@@ -1200,6 +1373,8 @@ def _prove_gather(node, ctx, r, out_claim):
 
 
 def _verify_gather(node, ctx, r, out_claim):
+    if isinstance(node.operator, FOPS.GatherLarge):
+        return _verify_gather_large(node, ctx, r, out_claim)
     dict_dims = tuple(ctx.node(node.inputs[0]).output_dims)
     V = dict_dims[0]
     n = ctx.padded_len(node.inputs[1])
@@ -1747,6 +1922,167 @@ def _verify_trig(node, ctx, r, out_claim):
 _register([FOPS.Tanh, FOPS.Erf, FOPS.Sigmoid],
           _prove_teleport_act, _verify_teleport_act)
 _register([FOPS.Sin, FOPS.Cos], _prove_trig, _verify_trig)
+
+
+# ---------------------------------------------------------------------------
+# Clamp (last-axis spread clamp: out = max(x, max_slice - C); reference
+# ops/clamp.rs is a TODO passthrough that forwards the operand claim without
+# proving the relation — this implementation proves it fully: committed 0/1
+# side indicator b, range-checked side distance u and dominance z = max - x,
+# plus a MaxCheck binding the public per-slice max advice to the input)
+# ---------------------------------------------------------------------------
+
+def _clamp_pieces(op, x):
+    C = int(op.max_spread)
+    flat = padded_flat(x).astype(np.int64)
+    if x.ndim == 1:
+        x2 = flat.reshape(1, -1)
+    else:
+        N = x.shape[-1]
+        assert N & (N - 1) == 0, "Clamp proof needs pow2 last axis"
+        x2 = flat.reshape(-1, N)
+    F_n, N = x2.shape
+    max_k = x2.max(axis=1)
+    argmax_k = x2.argmax(axis=1)
+    thr = max_k[:, None] - C
+    b = (x2 >= thr).astype(np.int64)
+    u = np.where(b == 1, x2 - thr, thr - x2 - 1)
+    z = max_k[:, None] - x2
+    return C, x2, F_n, N, max_k, argmax_k, b, u, z
+
+
+def _clamp_terms(g: list[Fr], C: int, cu: int = 8, cz: int = 8):
+    """out = b*x + (1-b)*(m-C);  g0*(x - m + C - (2b-1)u - b + 1) = 0;
+    g1*(m - x - z) = 0;  g2*(b^2 - b) = 0."""
+    uspec = {f"u{d}": (d, "identity") for d in range(cu)}
+    zspec = {f"z{d}": (d, "identity") for d in range(cz)}
+    one = Fr.one()
+    g0, g1, g2 = g
+    terms = [
+        (one, ["b", "x"]), (one, ["m"]), (Fr.zero() - Fr(C), []),
+        (Fr.zero() - one, ["b", "m"]), (Fr(C), ["b"]),
+        (g0, ["x"]), (Fr.zero() - g0, ["m"]), (g0 * Fr(C + 1), []),
+        (Fr.zero() - g0, ["b"]),
+        (g1, ["m"]), (Fr.zero() - g1, ["x"]),
+        (g2, ["b", "b"]), (Fr.zero() - g2, ["b"]),
+    ]
+    for d in range(cu):
+        c = Fr(1 << (4 * d))
+        terms.append((g0 * c, [f"u{d}"]))
+        terms.append((Fr.zero() - g0 * Fr(2) * c, ["b", f"u{d}"]))
+    for d in range(cz):
+        terms.append((Fr.zero() - g1 * Fr(1 << (4 * d)), [f"z{d}"]))
+    return terms, uspec, zspec
+
+
+def _clamp_b_id(node_idx):
+    return OpeningId.committed(
+        CommittedPoly.make("ClampIndicator", node_idx),
+        SumcheckId.make("NodeExecution", node_idx))
+
+
+def _prove_clamp(node, ctx, r, out_claim):
+    op = node.operator
+    x_arr = ctx.trace.node_outputs[node.inputs[0]]
+    C, x2, F_n, N, max_k, argmax_k, b, u, z = _clamp_pieces(op, x_arr)
+    for name, arr in (("clamp_max_k", max_k), ("clamp_argmax_k", argmax_k)):
+        ctx.transcript.append_bytes(np.asarray(arr, dtype="<i4").tobytes())
+        ctx.aux[(node.idx, name)] = np.asarray(arr, dtype=np.int32)
+    g = ctx.transcript.challenge_vector(3)
+    terms, uspec, zspec = _clamp_terms(g, C)
+    uchunks = ctx.chunks[(node.idx, "ClampSpreadRaD")]
+    zchunks = ctx.chunks[(node.idx, "ClampMaxDiffRaD")]
+    polys, specs = build_derived_polys(node.idx, uspec, uchunks)
+    zp, zs = build_derived_polys(node.idx, zspec, zchunks)
+    polys.update(zp)
+    specs.extend(zs)
+    polys["x"] = MLPoly(ints=x2.reshape(-1))
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    polys["b"] = MLPoly(ints=b.reshape(-1))
+    specs.append(("b", _clamp_b_id(node.idx)))
+    polys["m"] = MLPoly(ints=np.repeat(max_k, N))  # public broadcast advice
+    inst = CycleExecutionProver(polys, terms, r, out_claim, specs)
+    proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "Execution")] = proof
+
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampSpreadRaD", node.idx, d),
+                     8, uchunks), uspec),
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampMaxDiffRaD", node.idx, d),
+                     8, zchunks), zspec),
+    ]
+    ra_inst = build_ra_checks_provers(node.idx, fams, list(r_sc),
+                                      ctx.accumulator, ctx.transcript)
+    ra_proof, _ = BatchedSumcheck.prove(ra_inst, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "RaChecks")] = ra_proof
+
+    # bind the public max advice to the input: max(r_k2) = sum eq*argind*x
+    log_f = F_n.bit_length() - 1
+    r_k2 = ctx.transcript.challenge_vector_optimized(log_f)
+    max_claim = MLPoly(ints=max_k).evaluate(list(r_k2))
+    argind = np.zeros((F_n, N), dtype=np.int64)
+    argind[np.arange(F_n), argmax_k] = 1
+    eq_k2 = vec.as_object(eq_evals(list(r_k2)))
+    P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
+    mc = MaxCheckProver(node.idx, MLPoly(fvec=P_pub.reshape(-1)),
+                        MLPoly(ints=x2.reshape(-1)), max_claim, 1,
+                        node.inputs[0])
+    mcproof, _ = Sumcheck.prove(mc, ctx.accumulator, ctx.transcript)
+    ctx.proofs[(node.idx, "MaxCheck")] = mcproof
+
+
+def _verify_clamp(node, ctx, r, out_claim):
+    op = node.operator
+    in_dims = tuple(ctx.node(node.inputs[0]).output_dims)
+    N = in_dims[-1] if len(in_dims) > 1 else ctx.padded_len(node.inputs[0])
+    F_n = max(1, int(np.prod(in_dims[:-1]))) if len(in_dims) > 1 else 1
+    C = int(op.max_spread)
+    max_k = np.asarray(ctx.aux[(node.idx, "clamp_max_k")], dtype=np.int32)
+    argmax_k = np.asarray(ctx.aux[(node.idx, "clamp_argmax_k")], dtype=np.int32)
+    if max_k.shape != (F_n,) or argmax_k.shape != (F_n,):
+        raise VerificationError("clamp aux shape mismatch")
+    if not ((argmax_k >= 0) & (argmax_k < N)).all():
+        raise VerificationError("clamp argmax out of range")
+    for name, arr in (("clamp_max_k", max_k), ("clamp_argmax_k", argmax_k)):
+        ctx.transcript.append_bytes(arr.astype("<i4").tobytes())
+    g = ctx.transcript.challenge_vector(3)
+    terms, uspec, zspec = _clamp_terms(g, C)
+    _, specs = _derived_specs(node.idx, uspec)
+    _, zs = _derived_specs(node.idx, zspec)
+    specs.extend(zs)
+    specs.append(("x", input_opening_id(node.idx, 0, node.inputs[0])))
+    specs.append(("b", _clamp_b_id(node.idx)))
+    maxb = np.repeat(max_k.astype(np.int64), N)
+    public_evals = {"m": lambda rr: MLPoly(ints=maxb).evaluate(rr)}
+    inst = CycleExecutionVerifier(terms, list(r), out_claim, specs,
+                                  public_evals=public_evals)
+    r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
+                           ctx.accumulator, ctx.transcript)
+    fams = [
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampSpreadRaD", node.idx, d),
+                     8, None), uspec),
+        (ChunkFamily(lambda d: CommittedPoly.make("ClampMaxDiffRaD", node.idx, d),
+                     8, None), zspec),
+    ]
+    ra_inst = build_ra_checks_verifiers(node.idx, fams, list(r_sc),
+                                        ctx.accumulator, ctx.transcript)
+    BatchedSumcheck.verify(ctx.proofs[(node.idx, "RaChecks")], ra_inst,
+                           ctx.accumulator, ctx.transcript)
+
+    log_f = F_n.bit_length() - 1
+    r_k2 = ctx.transcript.challenge_vector_optimized(log_f)
+    max_claim = MLPoly(ints=max_k.astype(np.int64)).evaluate(list(r_k2))
+    argind = np.zeros((F_n, N), dtype=np.int64)
+    argind[np.arange(F_n), argmax_k] = 1
+    eq_k2 = vec.as_object(eq_evals(list(r_k2)))
+    P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
+    mcv = MaxCheckVerifier(node.idx, (F_n * N).bit_length() - 1, max_claim,
+                           1, node.inputs[0], P_pub.reshape(-1))
+    Sumcheck.verify(ctx.proofs[(node.idx, "MaxCheck")], mcv,
+                    ctx.accumulator, ctx.transcript)
+
+
+_register([FOPS.Clamp], _prove_clamp, _verify_clamp)
 
 
 # ---------------------------------------------------------------------------

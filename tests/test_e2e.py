@@ -303,6 +303,43 @@ class TestE2ELayerNormPieces:
         b.output(b.mean_of_squares(x, [1]))
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(8, 16)), s)])
 
+    def test_clamp_proof(self):
+        """Full Clamp proof: out = max(x, slice_max - C) with committed side
+        indicator + range-checked distances (reference clamp.rs is a TODO
+        passthrough; this implementation proves the relation)."""
+        for shape in [(2, 16), (16,)]:
+            b = ModelBuilder(scale=8)
+            x = b.input(list(shape))
+            b.output(b.clamp(x, len(shape) - 1, 300))
+            xq = rng.integers(-2000, 2000, size=shape).astype(np.int32)
+            prove_and_verify(b.build(), [xq])
+
+    def test_clamp_tampered_max_advice_fails(self):
+        b = ModelBuilder(scale=8)
+        x = b.input([2, 16])
+        b.output(b.clamp(x, 1, 300))
+        model = b.build()
+        xq = rng.integers(-2000, 2000, size=(2, 16)).astype(np.int32)
+        pp = AtlasPreprocessing.preprocess(model)
+        proof, io = AtlasProver(pp).prove([xq])
+        nidx = [k for k in proof.aux if k[1] == "clamp_max_k"][0][0]
+        proof.aux[(nidx, "clamp_max_k")] = proof.aux[(nidx, "clamp_max_k")] + 7
+        assert not AtlasVerifier(pp).verify(proof, io)
+
+    def test_gather_large(self):
+        """Vocab-scale gather: committed 4-bit GatherRaD chunks +
+        RaVirtualization instead of a V*T one-hot."""
+        V, E, T = 1 << 17, 4, 8
+        emb = rng.integers(-500, 500, size=(V, E)).astype(np.int32)
+        b = ModelBuilder(scale=8)
+        d = b.constant(emb)
+        tok = b.input([T])
+        b.output(b.gather(d, tok))
+        model = b.build()
+        idx = rng.integers(0, V, size=T).astype(np.int32)
+        assert (model.forward([idx])[0] == emb[idx]).all()
+        prove_and_verify(model, [idx])
+
     def test_softmax_large_magnitude(self):
         """Regression: sat_diff (z = max - x) must cover the full i32 range;
         4 nibbles overflowed for attention scores beyond 2^16."""
