@@ -407,18 +407,23 @@ void frv_terms_round(const u64* rows, i64 P, i64 n, int nevals,
 // Pointer-array variants: rows passed as P separate contiguous buffers, so
 // instance construction never copies and binding halves in place.
 
+// aux products: shared factor-prefix subproducts computed once per (j, t)
+// (common-subexpression elimination for e.g. the satclamp overflow
+// indicators, which appear in ~10 terms each). fidx entries >= P reference
+// aux slot (idx - P); aux factor lists reference rows only.
 void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
                        const u64* coeffs, const i64* offsets, const i64* fidx,
-                       i64 T, u64* out){
+                       i64 T, const i64* aux_offsets, const i64* aux_fidx,
+                       i64 A, u64* out){
   i64 half=n/2;
-  const int MAXE=20, MAXP=48;
+  const int MAXE=20, MAXP=48, MAXA=16;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
   {
     Fr4 local[MAXE];
     for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
-    Fr4 e[MAXP][MAXE];
+    Fr4 e[MAXP+MAXA][MAXE];
     #pragma omp for schedule(static) nowait
     for(i64 j=0;j<half;j++){
       for(i64 p=0;p<P;p++){
@@ -433,6 +438,14 @@ void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
             fr_add(cur,cur,d);
             e[p][t]=cur;
           }
+        }
+      }
+      for(i64 a=0;a<A;a++){
+        for(int t=0;t<nevals;t++){
+          Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
+            fr_mul(prod,prod,e[aux_fidx[f]][t]);
+          e[P+a][t]=prod;
         }
       }
       for(int t=0;t<nevals;t++){

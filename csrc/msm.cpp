@@ -230,26 +230,97 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
   }
   int windows=(maxbits+c-1)/c;
   int nbuckets=(1<<c)-1;
+  Fp QM2=Q_MOD;
+  { u128 borrow=0; u64 two=2;
+    for(int i=0;i<4;i++){
+      u128 d=(u128)QM2.v[i]-(i==0?two:0)-borrow;
+      QM2.v[i]=(u64)d; borrow=(d>>64)&1;
+    } }
 
   std::vector<Pt> window_sums(windows);
+  // Batch-affine bucket accumulation (the arkworks/gnark technique):
+  // buckets stay affine; additions run in collision-free batches sharing ONE
+  // modular inversion via Montgomery's trick — an affine add is ~6 muls vs
+  // ~16 for a Jacobian mixed add.
   #pragma omp parallel for schedule(dynamic)
   for(int w=0;w<windows;w++){
-    std::vector<Pt> buckets(nbuckets);
-    for(int b=0;b<nbuckets;b++) pt_set_inf(buckets[b]);
+    std::vector<Fp> bx(nbuckets), by(nbuckets);
+    std::vector<uint8_t> bfull(nbuckets, 0);
+    std::vector<uint32_t> used(nbuckets, 0);
+    std::vector<int64_t> pend, nextp;
+    pend.reserve(n);
+    int bitpos=w*c;
     for(int64_t i=0;i<n;i++){
       if(PINF[i]) continue;
       const uint8_t* s=scalars+i*32;
-      int bitpos=w*c;
       uint32_t digit=0;
       for(int b=0;b<c;b++){
         int bp=bitpos+b;
         if(bp<256 && (s[bp/8]&(1u<<(bp%8)))) digit|=1u<<b;
       }
-      if(digit) pt_add_affine(buckets[digit-1], buckets[digit-1], PX[i], PY[i]);
+      if(digit) pend.push_back(((int64_t)digit<<40)|i);
+    }
+    std::vector<int32_t> batch_b; std::vector<int64_t> batch_i;
+    std::vector<uint8_t> batch_dbl;
+    std::vector<Fp> dens, prefix;
+    uint32_t epoch=1;
+    while(!pend.empty()){
+      nextp.clear(); batch_b.clear(); batch_i.clear(); batch_dbl.clear();
+      dens.clear();
+      for(int64_t e : pend){
+        int b=(int)(e>>40)-1;
+        int64_t i=e&0xFFFFFFFFFFLL;
+        if(used[b]==epoch){ nextp.push_back(e); continue; }
+        used[b]=epoch;
+        if(!bfull[b]){ bx[b]=PX[i]; by[b]=PY[i]; bfull[b]=1; continue; }
+        if(eq_fp(bx[b],PX[i])){
+          if(eq_fp(by[b],PY[i])){      // doubling: lambda = 3x^2 / 2y
+            Fp den; add_mod(den,by[b],by[b]);
+            batch_b.push_back(b); batch_i.push_back(i);
+            batch_dbl.push_back(1); dens.push_back(den);
+          } else {                      // P + (-P): bucket empties
+            bfull[b]=0;
+          }
+          continue;
+        }
+        Fp den; sub_mod(den,PX[i],bx[b]);  // lambda = (y2-y1)/(x2-x1)
+        batch_b.push_back(b); batch_i.push_back(i);
+        batch_dbl.push_back(0); dens.push_back(den);
+      }
+      size_t m=dens.size();
+      if(m){
+        prefix.resize(m+1);
+        prefix[0]=R1;
+        for(size_t k=0;k<m;k++) mont_mul(prefix[k+1],prefix[k],dens[k]);
+        Fp inv; mont_pow(inv,prefix[m],QM2);
+        for(size_t k=m;k-- > 0;){
+          Fp ik; mont_mul(ik,inv,prefix[k]);
+          mont_mul(inv,inv,dens[k]);
+          int b=batch_b[k]; int64_t i=batch_i[k];
+          Fp lam;
+          if(batch_dbl[k]){
+            Fp x2; mont_sqr(x2,bx[b]);
+            Fp num; add_mod(num,x2,x2); add_mod(num,num,x2);
+            mont_mul(lam,num,ik);
+          } else {
+            Fp num; sub_mod(num,PY[i],by[b]);
+            mont_mul(lam,num,ik);
+          }
+          Fp x3; mont_sqr(x3,lam);
+          sub_mod(x3,x3,bx[b]);
+          sub_mod(x3,x3,PX[i]);
+          Fp y3; sub_mod(y3,bx[b],x3);
+          mont_mul(y3,lam,y3);
+          sub_mod(y3,y3,by[b]);
+          bx[b]=x3; by[b]=y3;
+        }
+      }
+      pend.swap(nextp);
+      epoch++;
     }
     Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
     for(int b=nbuckets-1;b>=0;b--){
-      pt_add(running,running,buckets[b]);
+      if(bfull[b]) pt_add_affine(running,running,bx[b],by[b]);
       pt_add(acc,acc,running);
     }
     window_sums[w]=acc;

@@ -88,6 +88,7 @@ def _load():
         for name, args in [
             ("frv_terms_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
                                    ctypes.c_int, _U64, _I64, _I64,
+                                   ctypes.c_int64, _I64, _I64,
                                    ctypes.c_int64, _U64]),
             ("frv_bind_rows_p", [pp, ctypes.c_int64, ctypes.c_int64, _U64]),
         ]:
@@ -349,6 +350,7 @@ class FusedInstance:
 
     MAXE = 20
     MAXP = 48
+    MAXA = 16
 
     def __init__(self, rows: list[FrArray], terms):
         assert len(rows) <= self.MAXP, len(rows)
@@ -364,16 +366,48 @@ class FusedInstance:
         self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
             *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
               for rw in self._rows])
+        # CSE: factor-prefix subproducts shared by >= 2 terms become aux
+        # products evaluated once per (pair, eval) — e.g. the satclamp
+        # overflow-indicator chains appearing in ~10 terms each.
+        from collections import Counter
+        cnt = Counter()
+        for _, factors in terms:
+            if len(factors) >= 3:
+                cnt[tuple(factors[:-1])] += 1
+            if len(factors) >= 2:
+                cnt[tuple(factors)] += 1
+        aux: dict[tuple, int] = {}
+        for pref, k in cnt.items():
+            if k >= 2 and len(pref) >= 2 and len(aux) < self.MAXA:
+                aux[pref] = self.P + len(aux)
+        new_terms = []
+        for c, factors in terms:
+            tf = tuple(factors)
+            if tf in aux:
+                new_terms.append((c, [aux[tf]]))
+            elif len(factors) >= 3 and tf[:-1] in aux:
+                new_terms.append((c, [aux[tf[:-1]], factors[-1]]))
+            else:
+                new_terms.append((c, list(factors)))
+        aux_offs = [0]
+        aux_fidx: list[int] = []
+        for pref in aux:  # insertion order == slot order
+            aux_fidx.extend(pref)
+            aux_offs.append(len(aux_fidx))
+        self.A = len(aux)
+        self.aux_offsets = np.asarray(aux_offs, dtype=np.int64)
+        self.aux_fidx = np.asarray(aux_fidx if aux_fidx else [0],
+                                   dtype=np.int64)
         self.coeffs = np.ascontiguousarray(
-            np.concatenate([_fr_limbs_cached(c) for c, _ in terms]))
+            np.concatenate([_fr_limbs_cached(c) for c, _ in new_terms]))
         offs = [0]
         fidx = []
-        for _, factors in terms:
+        for _, factors in new_terms:
             fidx.extend(factors)
             offs.append(len(fidx))
         self.offsets = np.asarray(offs, dtype=np.int64)
         self.fidx = np.asarray(fidx, dtype=np.int64)
-        self.T = len(terms)
+        self.T = len(new_terms)
 
     def round_points(self, degree: int) -> list[Fr]:
         nevals = max(1, degree)
@@ -381,7 +415,8 @@ class FusedInstance:
         out = np.zeros((nevals, 4), dtype=np.uint64)
         _load().frv_terms_round_p(self._ptrs, self.P, self.n, nevals,
                                   self.coeffs, self.offsets, self.fidx,
-                                  self.T, out)
+                                  self.T, self.aux_offsets, self.aux_fidx,
+                                  self.A, out)
         fa = FrArray(out)
         return [fa.item(t) for t in range(nevals)]
 

@@ -236,6 +236,31 @@ class TestE2ENewOps:
         b.output(y)
         prove_and_verify(b.build(), [quantize_tensor(rng.normal(size=(2, 4, 8)), s)])
 
+    def test_einsum_layout_families(self):
+        """The reference ships 7 hand-written einsum layout families
+        (jolt-atlas-core ops/einsum/: mk,kn->mn; k,nk->n; bmk/mbk batched
+        variants; rbmk,rbnk->bmn). The generic EinsumLayout engine must
+        cover each; check numerics + prove/verify per family."""
+        cases = [
+            ("k,nk->n", [(8,), (4, 8)]),
+            ("mbk,bnk->bmn", [(4, 2, 8), (2, 4, 8)]),
+            ("mbk,nbk->bmn", [(4, 2, 8), (4, 2, 8)]),
+            ("bmk,kbn->mbn", [(2, 4, 8), (8, 2, 4)]),
+        ]
+        s = 8
+        for eq, shapes in cases:
+            b = ModelBuilder(scale=s)
+            ins = [b.input(list(sh)) for sh in shapes]
+            b.output(b.einsum(eq, ins))
+            model = b.build()
+            xs = [quantize_tensor(rng.normal(size=sh) * 0.5, s)
+                  for sh in shapes]
+            got = model.forward(xs)[0]
+            acc = np.einsum(eq, *[x.astype(np.int64) for x in xs])
+            want = np.clip(np.floor_divide(acc, 1 << s), -2**31, 2**31 - 1)
+            assert (got == want).all(), eq
+            prove_and_verify(model, xs)
+
     def test_attention_style_einsum(self):
         s = 8
         b = ModelBuilder(scale=s)
