@@ -65,14 +65,18 @@ def collect_node_claims(accumulator, node_idx):
 
 
 class AtlasProver:
-    def __init__(self, preprocessing: AtlasPreprocessing):
+    def __init__(self, preprocessing: AtlasPreprocessing,
+                 transcript_factory=Blake2bTranscript):
+        # transcript_factory: Blake2bTranscript (default, matching the
+        # reference) or transcripts.KeccakTranscript — must match verifier
         self.pp = preprocessing
+        self.transcript_factory = transcript_factory
 
     def prove(self, inputs: list[np.ndarray]):
         """Returns (proof, io) where io = (padded inputs, padded outputs)."""
         model = self.pp.model
         trace = model.trace(inputs)
-        transcript = Blake2bTranscript(b"ONNXProof")
+        transcript = self.transcript_factory(b"ONNXProof")
         accumulator = ProverOpeningAccumulator()
         ctx = ProverContext(model, trace, transcript, accumulator)
 

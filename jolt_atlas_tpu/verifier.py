@@ -45,8 +45,10 @@ class VerifierContext:
 
 
 class AtlasVerifier:
-    def __init__(self, preprocessing: AtlasPreprocessing):
+    def __init__(self, preprocessing: AtlasPreprocessing,
+                 transcript_factory=Blake2bTranscript):
         self.pp = preprocessing
+        self.transcript_factory = transcript_factory
 
     def verify(self, proof: ONNXProof, io) -> bool:
         try:
@@ -60,7 +62,7 @@ class AtlasVerifier:
     def _verify_inner(self, proof: ONNXProof, io):
         model = self.pp.model
         padded_inputs, padded_outputs = io
-        transcript = Blake2bTranscript(b"ONNXProof")
+        transcript = self.transcript_factory(b"ONNXProof")
         accumulator = VerifierOpeningAccumulator(proof.opening_claims)
         ctx = VerifierContext(model, transcript, accumulator, proof.proofs,
                               proof.aux)

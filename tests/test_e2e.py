@@ -246,6 +246,7 @@ class TestE2ENewOps:
             ("mbk,bnk->bmn", [(4, 2, 8), (2, 4, 8)]),
             ("mbk,nbk->bmn", [(4, 2, 8), (4, 2, 8)]),
             ("bmk,kbn->mbn", [(2, 4, 8), (8, 2, 4)]),
+            ("m,an->anm", [(4,), (2, 8)]),  # reference's m,an->a1nm family
         ]
         s = 8
         for eq, shapes in cases:

@@ -122,6 +122,22 @@ class TestOnnxLoad:
         got = dequantize(model.forward([quantize_tensor(x, 8)])[0], 8)
         assert np.abs(got - x / 2).max() < 0.05
 
+    def test_activations_prove(self):
+        """ONNX Tanh/Sigmoid/Erf route through the neural-teleport proof
+        path end to end (reference models tanh/, erf/, sigmoid_encoder/)."""
+        for opname, ref in [("Tanh", np.tanh),
+                            ("Sigmoid", lambda v: 1 / (1 + np.exp(-v)))]:
+            nodes = [encode_node(opname, ["x"], ["y"])]
+            data = encode_model(nodes, {}, [("x", [8])], [("y", [8])])
+            model = OnnxLoader().load_bytes(data)
+            x = rng.normal(size=8).astype(np.float32)
+            got = dequantize(model.forward([quantize_tensor(x, 8)])[0], 8)
+            assert np.abs(got - ref(x)).max() < 0.05, opname
+            pp = AtlasPreprocessing.preprocess(model)
+            proof, io = AtlasProver(pp).prove([quantize_tensor(x, 8)])
+            v = AtlasVerifier(pp)
+            assert v.verify(proof, io), (opname, getattr(v, "last_error", None))
+
     def test_nonpow2_padding(self):
         r = np.random.default_rng(6)
         w = r.normal(size=(6, 10)).astype(np.float32) * 0.4
