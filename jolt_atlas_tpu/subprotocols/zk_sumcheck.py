@@ -168,6 +168,13 @@ class ZkSumcheck:
         all_cs = proof.round_commitments + proof.e_commitments
         if len(proof.responses) != len(all_cs):
             raise SumcheckError("zk sumcheck response count mismatch")
+        width = degree + 1
+        for z in proof.responses[:num_rounds]:
+            if len(z) != width:
+                raise SumcheckError("zk sumcheck response width mismatch")
+        for z in proof.responses[num_rounds:]:
+            if len(z) != 1:
+                raise SumcheckError("zk sumcheck response width mismatch")
         for z, zb, u_com, c_com in zip(proof.responses,
                                        proof.blind_responses,
                                        proof.masked_commitments, all_cs):
