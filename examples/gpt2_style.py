@@ -1,0 +1,38 @@
+"""GPT-2-style proving demo at the reference's benchmark quantization scale.
+
+Reference analogue: jolt-atlas-core/examples/gpt2.rs — GPT-2 (125M params,
+12 layers, 12 heads, n_embd 768, seq_len 16, scale 2^12; README.md:66-73).
+
+The default proves a proportional SLICE (2 layers, 4 heads, n_embd 128,
+seq 16, vocab 8192, scale 2^12) exercising the GPT-2 code paths —
+multi-head attention, scale-2^12 teleport activations and softmax layout,
+vocab-scale gather + wide LM head — in a few minutes on this host.
+
+Flags:
+  --fullvocab  use the true 50257-token vocabulary (pads to 65536; the
+               LM-head satclamp family then runs over 2^24-entry one-hots —
+               ~1 h+ at the current round's prover speed)
+  --full       the true 125M shape (12L/12H/768 + full vocab); exists to
+               demonstrate the pipeline handles the shape, not a quick run
+"""
+
+import os
+import subprocess
+import sys
+
+if __name__ == "__main__":
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "nanogpt_style.py")
+    args = sys.argv[1:]
+    full = "--full" in args
+    fullvocab = full or "--fullvocab" in args
+    args = [a for a in args if a not in ("--full", "--fullvocab")]
+    vocab = "50257" if fullvocab else "8192"
+    if full:
+        cfg = ["--blocks", "12", "--dim", "768", "--seq", "16",
+               "--vocab", vocab, "--heads", "12"]
+    else:
+        cfg = ["--blocks", "2", "--dim", "128", "--seq", "16",
+               "--vocab", vocab, "--heads", "4"]
+    sys.exit(subprocess.call(
+        [sys.executable, script, "--scale", "12"] + cfg + args))

@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--seq", type=int, default=8)
     ap.add_argument("--vocab", type=int, default=32)
     ap.add_argument("--heads", type=int, default=1)
+    ap.add_argument("--scale", type=int, default=8, help="fixed-point log2 scale")
     ap.add_argument("--gen", type=int, default=4, help="greedy tokens to generate")
     ap.add_argument("--trace", action="store_true")
     args = ap.parse_args()
@@ -89,8 +90,8 @@ def main():
         profiling.enable()
 
     rng = np.random.default_rng(42)
-    model = build_model(args.vocab, args.seq, args.dim, args.blocks, 8, rng,
-                        heads=args.heads)
+    model = build_model(args.vocab, args.seq, args.dim, args.blocks,
+                        args.scale, rng, heads=args.heads)
     print(f"model: {len(model.graph.nodes)} nodes, {args.blocks} blocks, "
           f"dim {args.dim}, seq {args.seq}, vocab {args.vocab}")
 

@@ -22,6 +22,51 @@ from ..curve.msm import msm
 from ..curve.points import G1, G2, g1_generator, g2_generator
 
 
+class LazyPoints:
+    """List-like view over a raw canonical 64B/point buffer, decoding G1
+    objects on demand — a 2^24-power SRS stays ~1 GB of bytes instead of
+    ~2.5 GB of boxed points (only small prefixes are ever materialized:
+    verifier bases, Pedersen generators, the g1 generator)."""
+
+    __slots__ = ("raw", "_n")
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+        self._n = len(raw) // 64
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _one(self, i: int) -> G1:
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError("LazyPoints index out of range")
+        x = int.from_bytes(self.raw[i * 64: i * 64 + 32], "little")
+        y = int.from_bytes(self.raw[i * 64 + 32: i * 64 + 64], "little")
+        return G1.identity() if x == 0 and y == 0 else G1(x, y)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return [self._one(i) for i in range(*idx.indices(self._n))]
+        return self._one(idx)
+
+    def __iter__(self):
+        return (self._one(i) for i in range(self._n))
+
+    def __eq__(self, other):
+        if isinstance(other, LazyPoints):
+            return self.raw == other.raw
+        try:
+            if len(other) != self._n:
+                return False
+            return all(a.infinity == b.infinity
+                       and (a.infinity or (a.x == b.x and a.y == b.y))
+                       for a, b in zip(self, other))
+        except (TypeError, AttributeError):
+            return NotImplemented
+
+
 class KZGSRS:
     """g1_powers[i] = tau^i * G1; g2 = G2; beta_g2 = tau * G2."""
 
@@ -56,10 +101,10 @@ class KZGSRS:
         for _ in range(max_degree + 1):
             scalars.append(acc)
             acc = acc * tau % FR_MODULUS
-        from ..curve.native import points_from_raw, scalar_muls_native_raw
+        from ..curve.native import scalar_muls_native_raw
         raw = scalar_muls_native_raw(g, scalars)
         if raw is not None:
-            powers = points_from_raw(raw)
+            powers = LazyPoints(raw)
         else:
             powers = [g * s for s in scalars]
         h = g2_generator()
@@ -70,8 +115,11 @@ class KZGSRS:
 
     def serialize(self) -> bytes:
         out = len(self.g1_powers).to_bytes(8, "little")
-        for p in self.g1_powers:
-            out += p.serialize()
+        if self._raw_points is not None:
+            out += self._raw_points
+        else:
+            for p in self.g1_powers:
+                out += p.serialize()
         out += self.g2.serialize() + self.beta_g2.serialize()
         return out
 
@@ -79,14 +127,11 @@ class KZGSRS:
     def deserialize(cls, data: bytes) -> "KZGSRS":
         n = int.from_bytes(data[:8], "little")
         off = 8
-        raw = data[off: off + 64 * n]
-        powers = []
-        for _ in range(n):
-            powers.append(G1.deserialize(data[off:off + 64]))
-            off += 64
+        raw = bytes(data[off: off + 64 * n])
+        off += 64 * n
         g2 = G2.deserialize(data[off:off + 128])
         beta = G2.deserialize(data[off + 128:off + 256])
-        return cls(powers, g2, beta, raw_points=bytes(raw))
+        return cls(LazyPoints(raw), g2, beta, raw_points=raw)
 
     def save(self, path: str) -> None:
         """Persist a ceremony/generated SRS (reference hyperkzg/mod.rs:60-100
