@@ -1,5 +1,10 @@
 """BN254 base-field tower: Fq, Fq2 = Fq[u]/(u^2+1), Fq12 = Fq[w]/(w^12-18w^6+82).
 
+Reference: the BN254 base-field tower the reference consumes through
+arkworks (ark-bn254; used by joltworks/src/curve.rs Bn254Curve). Fq2 as
+Fq[u]/(u^2+1); Fq12 as a degree-12 extension with modulus w^12 - 18 w^6
++ 82 (the standard BN254 tower flattened to one polynomial quotient).
+
 Standard textbook construction (the same tower arkworks/py_ecc use for
 alt_bn128). Python-int arithmetic — this layer backs the verifier-side
 pairing checks and SRS generation, which are not prover-hot.

@@ -1,5 +1,10 @@
 """Optimal-ate pairing on BN254.
 
+Reference: optimal ate pairing as consumed by the reference's HyperKZG
+pairing check (joltworks/src/poly/commitment/hyperkzg/mod.rs:451-514 via
+ark-ec). Miller loop over 6x+2, two Frobenius line corrections, final
+exponentiation (p^12-1)/r.
+
 Textbook implementation (same construction as py_ecc / arkworks use for
 alt_bn128): G2 points are lifted from the sextic twist E'(Fq2) into E(Fq12)
 ("untwisting"), the Miller loop runs over the 6x+2 ate loop count with

@@ -1,5 +1,9 @@
 """Parameterized 16-bit-limb Montgomery arithmetic (JAX, TPU-first).
 
+Role: modulus-parameterized TPU limb field core (the Pallas/XLA seam for
+the reference's ark Montgomery backend, joltworks/src/field/ark.rs) in
+matrix form: int32 dot_general column accumulation, MXU-friendly.
+
 Generalizes field/jaxfr.py to any 256-bit modulus: used with the BN254 base
 field Fq for vectorized curve arithmetic (the MSM hot path) and with Fr for
 polynomial work. Same representation contract: (..., 16) uint32 arrays of

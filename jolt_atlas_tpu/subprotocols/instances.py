@@ -1,5 +1,10 @@
 """Reusable concrete sumcheck instances.
 
+Reference: the concrete instance pattern of
+joltworks/src/subprotocols/sumcheck_prover.rs:10 /
+sumcheck_verifier.rs:6 implementors; ProductSumcheck is the building
+block used by einsum contraction and test harnesses.
+
 ProductSumcheck proves claims of the form  claim = sum_x prod_k P_k(x)
 over the boolean hypercube — the building block used by einsum contraction
 sumchecks, eq-weighted execution checks, and tests.
