@@ -200,6 +200,41 @@ def _h_div(c: _Ctx):
     return [_binary(lambda b, a, d: b.div(a, d))(c)[0]]
 
 
+def _h_sqrt(c: _Ctx):
+    # sqrt(x) = x * rsqrt(x): reuses the proven rsqrt advice op (the
+    # reference reaches the same decomposition via tract declutter)
+    x = c.w(c.node.input[0])
+    r = c.b.rsqrt(x)
+    if tuple(c.b.dims(r)) != tuple(c.b.dims(x)):
+        r = c.b.broadcast(r, c.b.dims(x))
+    return [c.b.mul(x, r)]
+
+
+def _h_pow(c: _Ctx):
+    e = c.const_array(c.node.input[1]).reshape(-1)
+    assert e.size == 1, "Pow needs a scalar exponent"
+    exp = float(e[0])
+    x = c.w(c.node.input[0])
+    if exp == 2.0:
+        return [c.b.square(x)]
+    if exp == 3.0:
+        return [c.b.cube(x)]
+    raise NotImplementedError(f"Pow exponent {exp} (only 2 and 3)")
+
+
+def _h_where(c: _Ctx):
+    n = c.node
+    return [c.b.iff(c.w(n.input[0]), c.w(n.input[1]), c.w(n.input[2]))]
+
+
+def _h_einsum(c: _Ctx):
+    eq = c.attr("equation")
+    assert eq is not None, "Einsum needs an equation attribute"
+    equation = eq.s.decode() if isinstance(eq.s, bytes) else str(eq.s)
+    ops = [c.w(i) for i in c.node.input]
+    return [c.b.einsum(equation.replace(" ", ""), ops)]
+
+
 def _h_softmax(c: _Ctx):
     axis = c.attr("axis")
     x = c.w(c.node.input[0])
@@ -370,6 +405,11 @@ _HANDLERS = {
     "Constant": _h_constant,
     "Concat": _h_concat,
     "Slice": _h_slice,
+    "Sqrt": _h_sqrt,
+    "Pow": _h_pow,
+    "Where": _h_where,
+    "Einsum": _h_einsum,
+    "Cast": lambda c: [c.b.identity(c.w(c.node.input[0]))],
 }
 
 

@@ -299,6 +299,12 @@ def encode_attr_i(name: str, v: int) -> bytes:
     return p
 
 
+def encode_attr_s(name: str, s: str) -> bytes:
+    p = _ld(1, name.encode()) + _ld(4, s.encode())
+    p += _fld(20, 0, _varint(3))  # type STRING
+    return p
+
+
 def encode_attr_ints(name: str, vals) -> bytes:
     p = _ld(1, name.encode())
     for v in vals:
