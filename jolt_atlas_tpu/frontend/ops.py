@@ -61,9 +61,24 @@ def sat_binop(inputs, combine) -> np.ndarray:
 
 
 def einsum_acc_i64(equation: str, inputs) -> np.ndarray:
-    """Raw i64 einsum accumulation (exact)."""
-    return np.einsum(equation, *[np.asarray(x, dtype=np.int64) for x in inputs],
-                     dtype=np.int64)
+    """Raw i64 einsum accumulation (exact).
+
+    Guarded against silent i64 wraparound: the reference compiles with
+    overflow-checks even in release (Cargo.toml:112) because integer
+    overflow is a soundness bug class; numpy wraps silently, so we bound
+    |acc| <= K * max|a| * max|b| < 2^62 up front and fail loudly.
+    """
+    arrs = [np.asarray(x, dtype=np.int64) for x in inputs]
+    if len(arrs) == 2:
+        # conservative: |acc| <= max|a| * max|b| * (largest operand size)
+        bound = (int(np.abs(arrs[0]).max(initial=0))
+                 * int(np.abs(arrs[1]).max(initial=0))
+                 * max(a.size for a in arrs))
+        if bound >= 1 << 62:
+            raise OverflowError(
+                "einsum i64 accumulation may overflow (operand magnitudes "
+                "too large for the quantization contract)")
+    return np.einsum(equation, *arrs, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -184,9 +199,14 @@ class Cube(Op):
         return 2 * self.scale
 
     def f(self, inputs):
-        if self.scale == 0:
-            return (inputs[0].astype(np.int64) ** 3).astype(np.int32)
         a = inputs[0].astype(np.int64)
+        if a.size and int(np.abs(a).max()) >= 1 << 21:
+            # |a|^3 wraps i64 beyond 2^63 (and the 48-bit satclamp chunk
+            # range far earlier) — fail loudly instead of silently wrapping
+            raise OverflowError("Cube operand exceeds the i64 cube contract "
+                                "(|x| must be < 2^21)")
+        if self.scale == 0:
+            return (a ** 3).astype(np.int32)
         return floor_rebase_clamp_i32(a * a * a, self.rebase_bits())
 
 
