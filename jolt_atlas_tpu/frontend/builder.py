@@ -193,7 +193,9 @@ class ModelBuilder:
             dict_len = vp
         idims = self.dims(indices_wire)
         out_dims = tuple(idims) + tuple(ddims[1:])
-        op_cls = OPS.GatherSmall if dict_len <= (1 << 16) else OPS.GatherLarge
+        from ..config import GATHER_SMALL_MAX
+        op_cls = (OPS.GatherSmall if dict_len <= GATHER_SMALL_MAX
+                  else OPS.GatherLarge)
         return self._insert(op_cls(axis=axis, dict_len=dict_len),
                             [dict_wire, indices_wire], out_dims)
 
