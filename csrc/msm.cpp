@@ -463,10 +463,24 @@ void msm_g1_pre_onehot_batch(const uint8_t* prep, const int64_t* idx,
 // out: k * 65 bytes (64B affine + 1 inf flag each).
 void msm_g1_pre_batch(const uint8_t* prep, const uint8_t* scalars,
                       const int64_t* offsets, int64_t k, uint8_t* out) {
+  int64_t maxn=0;
+  for(int64_t i=0;i<k;i++){
+    int64_t n=offsets[i+1]-offsets[i];
+    if(n>maxn) maxn=n;
+  }
+  if(maxn > (1<<16) || k < 4){
+    // few/huge MSMs: outer parallelism would idle cores on the largest
+    // MSM — run serially so each MSM's window loop uses every core
+    for(int64_t i=0;i<k;i++){
+      msm_g1_pre(prep, scalars+offsets[i]*32, offsets[i+1]-offsets[i], 0,
+                 out+i*65, out+i*65+64);
+    }
+    return;
+  }
   #pragma omp parallel for schedule(dynamic)
   for(int64_t i=0;i<k;i++){
     int64_t n=offsets[i+1]-offsets[i];
-    // suppress inner parallel regions (nested) by calling the core directly
+    // inner parallel regions auto-serialize (nested off) inside this loop
     msm_g1_pre(prep, scalars+offsets[i]*32, n, 0, out+i*65, out+i*65+64);
   }
 }
