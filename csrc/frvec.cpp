@@ -303,17 +303,32 @@ void frv_scatter_add(const u64* vals, const i64* idx, i64 T, u64* out,
   }
 }
 
-// synthetic division by (X - u): quotient q (length n-1) of f(X)-f(u),
-// q[n-2] = c[n-1]; q[i-1] = c[i] + u*q[i] for i = n-2 .. 1 (sequential)
-void frv_syndiv(const u64* coeffs, const u64* u, i64 n, u64* q){
+// synthetic division by (X - u): quotient q of f(X)-f(u) in REVERSED order
+// (qrev[j] = q[n-2-j]) so the store stream runs ascending — the natural
+// descending store pattern defeated the write-combining/prefetch hardware
+// (~50x slowdown past L2); the caller flips with one vectorized pass.
+// Recurrence: q[n-2] = c[n-1]; q[i-1] = c[i] + u*q[i] for i = n-2 .. 1.
+void frv_syndiv_rev(const u64* coeffs, const u64* u, i64 n, u64* qrev){
   Fr4 uu; memcpy(uu.v,u,32);
   Fr4 acc; memcpy(acc.v,coeffs+(n-1)*4,32);
-  memcpy(q+(n-2)*4,acc.v,32);
-  for(i64 i=n-2;i>=1;i--){
+  memcpy(qrev,acc.v,32);
+  i64 w=1;
+  for(i64 i=n-2;i>=1;i--,w++){
     Fr4 c; memcpy(c.v,coeffs+i*4,32);
     fr_mul(acc,acc,uu);
     fr_add(acc,acc,c);
-    memcpy(q+(i-1)*4,acc.v,32);
+    memcpy(qrev+w*4,acc.v,32);
+  }
+}
+
+// back-compat in-order variant
+void frv_syndiv(const u64* coeffs, const u64* u, i64 n, u64* q){
+  frv_syndiv_rev(coeffs,u,n,q);
+  // reverse in place
+  for(i64 a=0,b=n-2;a<b;a++,b--){
+    Fr4 t1,t2;
+    memcpy(t1.v,q+a*4,32); memcpy(t2.v,q+b*4,32);
+    memcpy(q+a*4,t2.v,32); memcpy(q+b*4,t1.v,32);
   }
 }
 

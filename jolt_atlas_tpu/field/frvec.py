@@ -74,6 +74,7 @@ def _load():
             ("frv_i64_mat_vec", [_I64, _U64, ctypes.c_int64, ctypes.c_int64,
                                  _U64]),
             ("frv_syndiv", [_U64, _U64, ctypes.c_int64, _U64]),
+            ("frv_syndiv_rev", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_horner", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_terms_round", [_U64, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int, _U64, _I64, _I64,
@@ -442,11 +443,15 @@ def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:
 
 
 def syndiv(coeffs: FrArray, u: Fr) -> FrArray:
-    """Quotient of (f(X) - f(u)) / (X - u) for the KZG opening witness."""
+    """Quotient of (f(X) - f(u)) / (X - u) for the KZG opening witness.
+
+    The C kernel stores ascending (descending stores fall off the write-
+    combining cliff past L2); the single numpy flip restores coefficient
+    order at memory bandwidth."""
     n = len(coeffs)
     q = np.empty((n - 1, 4), dtype=np.uint64)
-    _load().frv_syndiv(_c(coeffs.d), _fr_limbs_cached(u), n, q)
-    return FrArray(q)
+    _load().frv_syndiv_rev(_c(coeffs.d), _fr_limbs_cached(u), n, q)
+    return FrArray(np.ascontiguousarray(q[::-1]))
 
 
 def horner(coeffs: FrArray, u: Fr) -> Fr:
