@@ -514,4 +514,250 @@ void frv_bind_rows(const u64* rows, i64 P, i64 n, const u64* r, u64* out){
   }
 }
 
+// ---- eq table expansion ----------------------------------------------------
+
+// eq(r, x) table over {0,1}^m, interleaved build (r[0] = MSB of the final
+// index, matching poly/eq.py): level k doubles the table making r[k] the new
+// LSB. out: (2^m, 4). scratch: (2^(m-1), 4). scale: (1,4) Montgomery factor
+// folded into the table (pass R1 for none).
+void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
+                   u64* scratch){
+  Fr4 s; memcpy(s.v, scale, 32);
+  memcpy(out, s.v, 32);
+  i64 len = 1;
+  for(i64 k = 0; k < m; k++){
+    Fr4 rk; memcpy(rk.v, r + k*4, 32);
+    memcpy(scratch, out, (size_t)len * 32);
+    #pragma omp parallel for schedule(static) if(len > PAR_THRESH)
+    for(i64 j = 0; j < len; j++){
+      Fr4 cur, hi, lo;
+      memcpy(cur.v, scratch + j*4, 32);
+      fr_mul(hi, cur, rk);
+      fr_sub(lo, cur, hi);
+      memcpy(out + (2*j)*4, lo.v, 32);
+      memcpy(out + (2*j+1)*4, hi.v, 32);
+    }
+    len *= 2;
+  }
+}
+
+// ---- Gruen split-eq fused rounds --------------------------------------------
+//
+// Round message kernel for instances of the form
+//     s(X) = eq_scalar * l_i(X) * q(X),
+//     q(t) = sum_j w(j) * sum_terms coeff * prod_f rows[f](pair j at t)
+// where the eq factor is NOT a materialized row: w(j) = whi[j >> log_wlo] *
+// wlo[j & (2^log_wlo - 1)] (Gruen/Dao-Thaler split-eq; reference
+// joltworks/src/poly/split_eq_poly.rs:67). The caller rebuilds the tiny
+// whi/wlo suffix tables per round (total O(sqrt n) work) and assembles s(X)
+// from the returned q evals at t = 0, 2, ..., nevals.
+// whi_n == 1 means the hi table is a folded scalar == R1 (skip the mul).
+
+void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
+                       const u64* coeffs, const i64* offsets, const i64* fidx,
+                       i64 T, const i64* aux_offsets, const i64* aux_fidx,
+                       i64 A, const u64* whi, i64 whi_n, const u64* wlo,
+                       int log_wlo, u64* out){
+  i64 half = n/2;
+  const int MAXE=20, MAXP=48, MAXA=16;
+  const i64 lomask = ((i64)1 << log_wlo) - 1;
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP+MAXA][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 lo,hi,d;
+        memcpy(lo.v,rows[p]+j*4,32);
+        memcpy(hi.v,rows[p]+(half+j)*4,32);
+        e[p][0]=lo;
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(i64 a=0;a<A;a++){
+        for(int t=0;t<nevals;t++){
+          Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
+            fr_mul(prod,prod,e[aux_fidx[f]][t]);
+          e[P+a][t]=prod;
+        }
+      }
+      Fr4 w;
+      memcpy(w.v, wlo + (j & lomask)*4, 32);
+      if(whi_n > 1){
+        Fr4 h; memcpy(h.v, whi + (j >> log_wlo)*4, 32);
+        fr_mul(w, w, h);
+      }
+      for(int t=0;t<nevals;t++){
+        Fr4 inner{{0,0,0,0}};
+        for(i64 k=0;k<T;k++){
+          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
+          for(i64 f=offsets[k];f<offsets[k+1];f++)
+            fr_mul(prod,prod,e[fidx[f]][t]);
+          fr_add(inner,inner,prod);
+        }
+        fr_mul(inner, inner, w);
+        fr_add(local[t],local[t],inner);
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// Single-limb Montgomery product: out = a * b / 2^256 mod r. To multiply a
+// Montgomery-form value w (= w_canon * R) by a plain u64 AND keep Montgomery
+// form, first scale once: W2 = fr_mul(w, R2) = w_canon * R^2; then
+// fr_mul_u64(W2, b) = w_canon * b * R — the Montgomery form of w*b, at less
+// than half the cost of a full fr_mul per use.
+static inline void fr_mul_u64(Fr4&out, const Fr4&a, u64 b){
+  u64 t[5]={0,0,0,0,0};
+  u128 carry=0;
+  for(int j=0;j<4;j++){
+    u128 cur=(u128)a.v[j]*b+carry;
+    t[j]=(u64)cur; carry=cur>>64;
+  }
+  t[4]=(u64)carry;
+  // 4 reduction steps (one per limb of the implicit zero-extended operand)
+  for(int i=0;i<4;i++){
+    u64 m=t[0]*R_INV;
+    u128 cur=(u128)t[0]+(u128)m*R_MOD.v[0];
+    carry=cur>>64;
+    for(int j=1;j<4;j++){
+      cur=(u128)t[j]+(u128)m*R_MOD.v[j]+carry;
+      t[j-1]=(u64)cur; carry=cur>>64;
+    }
+    u128 s=(u128)t[4]+carry;
+    t[3]=(u64)s;
+    t[4]=(u64)(s>>64);
+  }
+  Fr4 r={{t[0],t[1],t[2],t[3]}};
+  if(t[4] || ge(r,R_MOD)) sub_nocheck(r,r,R_MOD);
+  out=r;
+}
+
+// 2^64 in Montgomery form (2^320 mod r), for splitting u128 payloads
+static const Fr4 TWO64M = {{0xb4c6edf97c5fb586ULL, 0x708c8d50bfeb93beULL,
+                            0x9ffd1de404f7e0efULL, 0x215b02ac9a392866ULL}};
+
+// Integer-row variant of the Gruen round for round 0 of instances whose
+// rows are still small integers (chunk nibbles, indicator bits, i32 witness
+// values) and whose coefficients are signed 64-bit integers. The inner
+// per-pair term sum S_j(t) is computed exactly in signed 128-bit arithmetic
+// (the Python side verifies the static bound |S| < 2^126 before choosing
+// this kernel), then folded into the field accumulator with 1-2 single-limb
+// Montgomery muls: w * S = w*lo(S) + (w*2^64)*hi(S). Zero S_j (the common
+// case for indicator-gated terms) skips all field work for the pair.
+typedef __int128 i128;
+
+void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
+                          const i64* coeffs, const i64* offsets,
+                          const i64* fidx, i64 T, const u64* whi, i64 whi_n,
+                          const u64* wlo, int log_wlo, u64* out){
+  i64 half = n/2;
+  const int MAXE=20, MAXP=48;
+  const i64 lomask = ((i64)1 << log_wlo) - 1;
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half>PAR_THRESH/4)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    i64 e[MAXP][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        i64 lo=rows[p][j], hi=rows[p][half+j];
+        e[p][0]=lo;
+        if(nevals>1){
+          i64 d=hi-lo, cur=hi;
+          for(int t=1;t<nevals;t++){ cur+=d; e[p][t]=cur; }
+        }
+      }
+      Fr4 w; bool have_w=false;
+      for(int t=0;t<nevals;t++){
+        i128 S=0;
+        for(i64 k=0;k<T;k++){
+          i128 prod=coeffs[k];
+          for(i64 f=offsets[k];f<offsets[k+1];f++){
+            i64 v=e[fidx[f]][t];
+            if(!v){ prod=0; break; }
+            prod*=v;
+          }
+          S+=prod;
+        }
+        if(!S) continue;
+        if(!have_w){
+          memcpy(w.v, wlo + (j & lomask)*4, 32);
+          if(whi_n > 1){
+            Fr4 h; memcpy(h.v, whi + (j >> log_wlo)*4, 32);
+            fr_mul(w, w, h);
+          }
+          fr_mul(w, w, R2);  // R2-scale so fr_mul_u64 lands in Montgomery form
+          have_w=true;
+        }
+        bool neg = S<0;
+        u128 mag = neg ? (u128)(-S) : (u128)S;
+        Fr4 c;
+        fr_mul_u64(c, w, (u64)mag);
+        if(mag >> 64){
+          Fr4 chi;
+          fr_mul_u64(chi, w, (u64)(mag >> 64));
+          fr_mul(chi, chi, TWO64M);
+          fr_add(c, c, chi);
+        }
+        if(neg) fr_sub(local[t], local[t], c);
+        else    fr_add(local[t], local[t], c);
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// Bind integer rows with a field challenge -> Montgomery rows:
+// out[j] = mont(lo_j) + r * (hi_j - lo_j), one output buffer per row.
+void frv_bind_rows_i64(const i64* const* rows, i64 P, i64 n, const u64* r,
+                       u64* const* out){
+  Fr4 rc; memcpy(rc.v,r,32);
+  Fr4 rc2; fr_mul(rc2, rc, R2);  // R2-scaled for single-limb Montgomery muls
+  i64 half=n/2;
+  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
+  for(i64 p=0;p<P;p++){
+    for(i64 j=0;j<half;j++){
+      i64 lo=rows[p][j];
+      i64 d=rows[p][half+j]-lo;
+      Fr4 acc={{0,0,0,0}};
+      if(d){
+        u64 mag = d<0 ? (u64)(-d) : (u64)d;
+        fr_mul_u64(acc, rc2, mag);
+        if(d<0){ Fr4 z={{0,0,0,0}}; fr_sub(acc, z, acc); }
+      }
+      if(lo){
+        Fr4 lom={{0,0,0,0}};
+        if(lo>=0){ lom.v[0]=(u64)lo; }
+        else {
+          u64 mag=(u64)(-lo);
+          Fr4 m={{mag,0,0,0}}; sub_nocheck(lom,R_MOD,m);
+        }
+        Fr4 lomm; fr_mul(lomm, lom, R2);
+        fr_add(acc, acc, lomm);
+      }
+      memcpy(out[p]+j*4, acc.v, 32);
+    }
+  }
+}
+
 }  // extern "C"

@@ -12,10 +12,19 @@ from ..field import vec
 from ..field.scalar import Fr
 
 
-def eq_evals(r: list[Fr], scale: Fr | None = None):
-    """Table of eq(r, x) for all x in {0,1}^n (FrArray on the native path,
-    object-int array on the fallback)."""
-    table = vec.full(1, scale if scale is not None else Fr.one())
+# Built eq tables are memoized by point: the IOP opens every instance of a
+# node at the same r_cycle, so the same table is requested dozens of times
+# (profiling: 940 eq_evals calls / ~10 s per prove before the cache).
+# Entries are returned as COPIES — callers hand tables to FusedInstance,
+# which binds them in place.
+_CACHE: dict[tuple, object] = {}
+_CACHE_ELEMS = 0
+_MAX_CACHE_ELEMS = 1 << 22      # ~128 MB of (n,4) u64 rows
+_MAX_CACHED_VARS = 14           # larger tables are one-offs (opening groups)
+
+
+def _build_eq(r: list[Fr]):
+    table = vec.full(1, Fr.one())
     for rj in r:  # r[0] first; each new variable becomes the LSB (interleave)
         hi = vec.vscale(table, rj)
         lo = vec.vsub(table, hi)  # table * (1 - r_j)
@@ -28,6 +37,31 @@ def eq_evals(r: list[Fr], scale: Fr | None = None):
         out[1::2] = hi
         table = out
     return table
+
+
+def eq_evals(r: list[Fr], scale: Fr | None = None):
+    """Table of eq(r, x) for all x in {0,1}^n (FrArray on the native path,
+    object-int array on the fallback). Returns a fresh (caller-owned) array."""
+    global _CACHE_ELEMS
+    from ..field.frvec import FrArray
+    if not vec.native_available():
+        table = _build_eq(r)
+        return table if scale is None else vec.vscale(table, scale)
+    key = tuple(x.v for x in r)
+    base = _CACHE.get(key)
+    if base is None:
+        built = _build_eq(r)
+        if len(r) <= _MAX_CACHED_VARS:
+            if _CACHE_ELEMS + len(built) > _MAX_CACHE_ELEMS:
+                _CACHE.clear()
+                _CACHE_ELEMS = 0
+            _CACHE[key] = FrArray(built.d.copy())
+            _CACHE_ELEMS += len(built)
+        # miss: hand the freshly built table to the caller without a copy
+        return built if scale is None else built.scale(scale)
+    if scale is not None:
+        return base.scale(scale)  # scale already copies
+    return FrArray(base.d.copy())
 
 
 def eq_eval_scalar(x: list[Fr], y: list[Fr]) -> Fr:

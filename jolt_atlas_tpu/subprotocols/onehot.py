@@ -494,8 +494,12 @@ class EqPairCheckProver(RowsInstance, SumcheckInstanceProver):
         T = len(chunks_a)
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
-        eqj = vec.as_object(eq_evals(r_cycle))
-        W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
+        from ..field.frvec import FrArray
+        eqj = eq_evals(r_cycle)
+        if isinstance(eqj, FrArray):  # native: tile the limb rows directly
+            W = MLPoly(fvec=FrArray(np.tile(eqj.d, (K_CHUNK, 1))))
+        else:
+            W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
         ra = one_hot_poly(chunks_a)
         rb = one_hot_poly(chunks_b)
         self.r_cycle = r_cycle
@@ -562,10 +566,17 @@ class LtPairCheckProver(RowsInstance, SumcheckInstanceProver):
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
         self.r_cycle = r_cycle
-        eqj = vec.as_object(eq_evals(r_cycle))
+        from ..field.frvec import FrArray
+        eqj = eq_evals(r_cycle)
         # W(k, k', j) = LT16[k, k'] * eq(j); domain (k, k', j) flattened
-        W = (LT16[:, :, None] * eqj[None, None, :]) % vec.R
-        self.W = MLPoly(fvec=W.reshape(-1).astype(object))
+        if isinstance(eqj, FrArray):  # native: 0/1 mask times limb rows
+            Wd = (LT16.reshape(-1).astype(np.uint64)[:, None, None]
+                  * eqj.d[None, :, :])
+            self.W = MLPoly(fvec=FrArray(
+                np.ascontiguousarray(Wd.reshape(-1, 4))))
+        else:
+            W = (LT16[:, :, None] * eqj[None, None, :]) % vec.R
+            self.W = MLPoly(fvec=W.reshape(-1).astype(object))
         # lifted one-hots: A(k,k',j) = ra_a(k,j); B(k,k',j) = ra_b(k',j)
         oa = np.zeros((K_CHUNK, T), dtype=np.int64)
         oa[chunks_a, np.arange(T)] = 1
