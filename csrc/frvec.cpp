@@ -551,16 +551,22 @@ void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
 // joltworks/src/poly/split_eq_poly.rs:67). The caller rebuilds the tiny
 // whi/wlo suffix tables per round (total O(sqrt n) work) and assembles s(X)
 // from the returned q evals at t = 0, 2, ..., nevals.
-// whi_n == 1 means the hi table is a folded scalar == R1 (skip the mul).
+// whi_n == 1 means the hi table is a folded scalar == R1 (skip the mul);
+// log_wlo < 0 means skip the lo lookup (prefix-eq layouts: the weight
+// depends only on the high bits, indexed by j >> whi_shift).
+
+static inline bool fr_is_zero(const Fr4&a){
+  return (a.v[0]|a.v[1]|a.v[2]|a.v[3])==0;
+}
 
 void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
                        const u64* coeffs, const i64* offsets, const i64* fidx,
                        i64 T, const i64* aux_offsets, const i64* aux_fidx,
-                       i64 A, const u64* whi, i64 whi_n, const u64* wlo,
-                       int log_wlo, u64* out){
+                       i64 A, const u64* whi, i64 whi_n, int whi_shift,
+                       const u64* wlo, int log_wlo, u64* out){
   i64 half = n/2;
   const int MAXE=20, MAXP=48, MAXA=16;
-  const i64 lomask = ((i64)1 << log_wlo) - 1;
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -587,26 +593,45 @@ void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
       for(i64 a=0;a<A;a++){
         for(int t=0;t<nevals;t++){
           Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
-          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++){
+            if(fr_is_zero(prod)) break;
             fr_mul(prod,prod,e[aux_fidx[f]][t]);
+          }
           e[P+a][t]=prod;
         }
       }
-      Fr4 w;
-      memcpy(w.v, wlo + (j & lomask)*4, 32);
-      if(whi_n > 1){
-        Fr4 h; memcpy(h.v, whi + (j >> log_wlo)*4, 32);
-        fr_mul(w, w, h);
-      }
+      Fr4 w; int wstate = -1;  // -1 not computed, 0 identity, 1 multiply
       for(int t=0;t<nevals;t++){
         Fr4 inner{{0,0,0,0}};
         for(i64 k=0;k<T;k++){
-          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
-          for(i64 f=offsets[k];f<offsets[k+1];f++)
+          if(offsets[k+1]==offsets[k]){  // constant term
+            Fr4 c; memcpy(c.v,coeffs+k*4,32);
+            fr_add(inner,inner,c);
+            continue;
+          }
+          // zero-skip: one-hot / indicator rows make most factors zero
+          Fr4 prod=e[fidx[offsets[k]]][t];
+          if(fr_is_zero(prod)) continue;
+          for(i64 f=offsets[k]+1;f<offsets[k+1];f++){
             fr_mul(prod,prod,e[fidx[f]][t]);
+            if(fr_is_zero(prod)) break;
+          }
+          if(fr_is_zero(prod)) continue;
+          Fr4 c; memcpy(c.v,coeffs+k*4,32);
+          fr_mul(prod,prod,c);
           fr_add(inner,inner,prod);
         }
-        fr_mul(inner, inner, w);
+        if(fr_is_zero(inner)) continue;
+        if(wstate < 0){
+          bool set=false;
+          if(log_wlo >= 0){ memcpy(w.v, wlo + (j & lomask)*4, 32); set=true; }
+          if(whi_n > 1){
+            Fr4 h; memcpy(h.v, whi + ((j >> whi_shift)&(whi_n-1))*4, 32);
+            if(set) fr_mul(w, w, h); else { w = h; set=true; }
+          }
+          wstate = set ? 1 : 0;
+        }
+        if(wstate) fr_mul(inner, inner, w);
         fr_add(local[t],local[t],inner);
       }
     }
@@ -661,13 +686,30 @@ static const Fr4 TWO64M = {{0xb4c6edf97c5fb586ULL, 0x708c8d50bfeb93beULL,
 // case for indicator-gated terms) skips all field work for the pair.
 typedef __int128 i128;
 
+// Shared per-pair weight fetch: R2-prescaled Montgomery weight (so a
+// following fr_mul_u64 lands back in Montgomery form). Returns false when
+// there is no weight at all (w = 1; caller should use the R2 constant).
+static inline bool gruen_weight(i64 j, const u64* whi, i64 whi_n,
+                                int whi_shift, const u64* wlo, int log_wlo,
+                                i64 lomask, Fr4& w){
+  bool set=false;
+  if(log_wlo >= 0){ memcpy(w.v, wlo + (j & lomask)*4, 32); set=true; }
+  if(whi_n > 1){
+    Fr4 h; memcpy(h.v, whi + ((j >> whi_shift)&(whi_n-1))*4, 32);
+    if(set) fr_mul(w, w, h); else { w = h; set=true; }
+  }
+  if(set) fr_mul(w, w, R2);
+  return set;
+}
+
 void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
                           const i64* coeffs, const i64* offsets,
                           const i64* fidx, i64 T, const u64* whi, i64 whi_n,
-                          const u64* wlo, int log_wlo, u64* out){
+                          int whi_shift, const u64* wlo, int log_wlo,
+                          u64* out){
   i64 half = n/2;
   const int MAXE=20, MAXP=48;
-  const i64 lomask = ((i64)1 << log_wlo) - 1;
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half>PAR_THRESH/4)
@@ -685,7 +727,7 @@ void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
           for(int t=1;t<nevals;t++){ cur+=d; e[p][t]=cur; }
         }
       }
-      Fr4 w; bool have_w=false;
+      Fr4 w; bool have_w=false, wset=false;
       for(int t=0;t<nevals;t++){
         i128 S=0;
         for(i64 k=0;k<T;k++){
@@ -699,12 +741,9 @@ void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
         }
         if(!S) continue;
         if(!have_w){
-          memcpy(w.v, wlo + (j & lomask)*4, 32);
-          if(whi_n > 1){
-            Fr4 h; memcpy(h.v, whi + (j >> log_wlo)*4, 32);
-            fr_mul(w, w, h);
-          }
-          fr_mul(w, w, R2);  // R2-scale so fr_mul_u64 lands in Montgomery form
+          wset = gruen_weight(j, whi, whi_n, whi_shift, wlo, log_wlo,
+                              lomask, w);
+          if(!wset) w = R2;  // identity weight, R2-prescaled
           have_w=true;
         }
         bool neg = S<0;
@@ -719,6 +758,83 @@ void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
         }
         if(neg) fr_sub(local[t], local[t], c);
         else    fr_add(local[t], local[t], c);
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// Fr-coefficient variant of the integer round-0 kernel: rows are small
+// integers but the term coefficients are full field elements (Booleanity's
+// batching gammas). Per (pair, eval, term): exact i128 factor product
+// (zero-skip), folded as coeff_k * prod via 1-2 single-limb Montgomery
+// muls; the per-pair weight then multiplies the term sum once. coeffs are
+// R2-PRESCALED Montgomery limbs (caller multiplies by R2 once at setup).
+void frv_gruen_round0_i64fr(const i64* const* rows, i64 P, i64 n, int nevals,
+                            const u64* coeffs, const i64* offsets,
+                            const i64* fidx, i64 T, const u64* whi, i64 whi_n,
+                            int whi_shift, const u64* wlo, int log_wlo,
+                            u64* out){
+  i64 half = n/2;
+  const int MAXE=20, MAXP=48;
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half>PAR_THRESH/4)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    i64 e[MAXP][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        i64 lo=rows[p][j], hi=rows[p][half+j];
+        e[p][0]=lo;
+        if(nevals>1){
+          i64 d=hi-lo, cur=hi;
+          for(int t=1;t<nevals;t++){ cur+=d; e[p][t]=cur; }
+        }
+      }
+      Fr4 w; int wstate=-1;
+      for(int t=0;t<nevals;t++){
+        Fr4 S{{0,0,0,0}}; bool any=false;
+        for(i64 k=0;k<T;k++){
+          i128 prod=1;
+          for(i64 f=offsets[k];f<offsets[k+1];f++){
+            i64 v=e[fidx[f]][t];
+            if(!v){ prod=0; break; }
+            prod*=v;
+          }
+          if(!prod) continue;
+          Fr4 cf; memcpy(cf.v, coeffs + k*4, 32);  // R2-prescaled
+          bool neg = prod<0;
+          u128 mag = neg ? (u128)(-prod) : (u128)prod;
+          Fr4 c;
+          fr_mul_u64(c, cf, (u64)mag);
+          if(mag >> 64){
+            Fr4 chi;
+            fr_mul_u64(chi, cf, (u64)(mag >> 64));
+            fr_mul(chi, chi, TWO64M);
+            fr_add(c, c, chi);
+          }
+          if(neg) fr_sub(S, S, c); else fr_add(S, S, c);
+          any=true;
+        }
+        if(!any || fr_is_zero(S)) continue;
+        if(wstate < 0){
+          Fr4 wraw;
+          bool set=false;
+          if(log_wlo >= 0){ memcpy(wraw.v, wlo + (j & lomask)*4, 32); set=true; }
+          if(whi_n > 1){
+            Fr4 h; memcpy(h.v, whi + ((j >> whi_shift)&(whi_n-1))*4, 32);
+            if(set) fr_mul(wraw, wraw, h); else { wraw = h; set=true; }
+          }
+          if(set){ w = wraw; wstate = 1; } else wstate = 0;
+        }
+        if(wstate) fr_mul(S, S, w);
+        fr_add(local[t], local[t], S);
       }
     }
     #pragma omp critical

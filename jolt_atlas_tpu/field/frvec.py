@@ -30,11 +30,37 @@ def _repo_root() -> str:
         os.path.abspath(__file__))))
 
 
+_MALLOC_TUNED = False
+
+
+def _tune_malloc() -> None:
+    """Keep large allocations on the reusable heap (glibc mallopt).
+
+    The prover allocates/frees MB-scale limb arrays constantly; glibc's
+    default 128 KB mmap threshold turns every one into mmap/munmap, so each
+    touch faults fresh zero pages (~30-70 MB/s on this hypervisor vs GB/s
+    for warm pages — profiled 19.7 s of a 23 s opening phase inside
+    ndarray.copy). Raising M_MMAP_THRESHOLD and disabling trim keeps pages
+    warm across the whole prove."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except OSError:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    _tune_malloc()
     csrc = os.path.join(_repo_root(), "csrc")
     so = os.path.join(csrc, "libfrvec.so")
     src = os.path.join(csrc, "frvec.cpp")
@@ -52,6 +78,11 @@ def _load():
                     return None
     if not os.path.exists(so):
         return None
+    # GOMP worker threads spin-wait after each kernel call by default,
+    # starving the interleaved single-threaded numpy/Python work on this
+    # 4-core box (profiled: ndarray.copy at ~170 MB/s vs 2-4 GB/s clean).
+    # Must be set before libgomp loads.
+    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
     try:
         lib = ctypes.CDLL(so)
         for name, args in [
@@ -86,12 +117,31 @@ def _load():
             fn.argtypes = args
             fn.restype = None
         pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))
+        ppi = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
         for name, args in [
             ("frv_terms_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
                                    ctypes.c_int, _U64, _I64, _I64,
                                    ctypes.c_int64, _I64, _I64,
                                    ctypes.c_int64, _U64]),
             ("frv_bind_rows_p", [pp, ctypes.c_int64, ctypes.c_int64, _U64]),
+            ("frv_eq_expand", [_U64, ctypes.c_int64, _U64, _U64, _U64]),
+            ("frv_gruen_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int, _U64, _I64, _I64,
+                                   ctypes.c_int64, _I64, _I64,
+                                   ctypes.c_int64, _U64, ctypes.c_int64,
+                                   ctypes.c_int, _U64, ctypes.c_int, _U64]),
+            ("frv_gruen_round0_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int, _I64, _I64, _I64,
+                                      ctypes.c_int64, _U64, ctypes.c_int64,
+                                      ctypes.c_int, _U64, ctypes.c_int,
+                                      _U64]),
+            ("frv_gruen_round0_i64fr", [ppi, ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, _U64, _I64, _I64,
+                                        ctypes.c_int64, _U64, ctypes.c_int64,
+                                        ctypes.c_int, _U64, ctypes.c_int,
+                                        _U64]),
+            ("frv_bind_rows_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
+                                   _U64, pp]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -340,6 +390,54 @@ class FrArray:
         return [FrArray(outs[t]) for t in range(nevals)]
 
 
+def _encode_terms_cse(terms, P: int, maxa: int):
+    """Encode weighted product terms for the fused C kernels, with CSE:
+    factor-prefix subproducts shared by >= 2 terms become aux products
+    evaluated once per (pair, eval) — e.g. the satclamp overflow-indicator
+    chains appearing in ~10 terms each.
+
+    Returns (coeffs (T,4) Montgomery, offsets, fidx, T, aux_offsets,
+    aux_fidx, A); aux slots index rows P..P+A-1."""
+    from collections import Counter
+    cnt = Counter()
+    for _, factors in terms:
+        if len(factors) >= 3:
+            cnt[tuple(factors[:-1])] += 1
+        if len(factors) >= 2:
+            cnt[tuple(factors)] += 1
+    aux: dict[tuple, int] = {}
+    for pref, k in cnt.items():
+        if k >= 2 and len(pref) >= 2 and len(aux) < maxa:
+            aux[pref] = P + len(aux)
+    new_terms = []
+    for c, factors in terms:
+        tf = tuple(factors)
+        if tf in aux:
+            new_terms.append((c, [aux[tf]]))
+        elif len(factors) >= 3 and tf[:-1] in aux:
+            new_terms.append((c, [aux[tf[:-1]], factors[-1]]))
+        else:
+            new_terms.append((c, list(factors)))
+    aux_offs = [0]
+    aux_fidx: list[int] = []
+    for pref in aux:  # insertion order == slot order
+        aux_fidx.extend(pref)
+        aux_offs.append(len(aux_fidx))
+    coeffs = np.ascontiguousarray(
+        np.concatenate([_fr_limbs_cached(c) for c, _ in new_terms]))
+    offs = [0]
+    fidx: list[int] = []
+    for _, factors in new_terms:
+        fidx.extend(factors)
+        offs.append(len(fidx))
+    return (coeffs, np.asarray(offs, dtype=np.int64),
+            np.asarray(fidx if fidx else [0], dtype=np.int64),
+            len(new_terms),
+            np.asarray(aux_offs, dtype=np.int64),
+            np.asarray(aux_fidx if aux_fidx else [0], dtype=np.int64),
+            len(aux))
+
+
 class FusedInstance:
     """A sumcheck instance's rows (eq + polys) + weighted product terms,
     evaluated and bound with one C call per round (HighToLow binding).
@@ -367,48 +465,8 @@ class FusedInstance:
         self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
             *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
               for rw in self._rows])
-        # CSE: factor-prefix subproducts shared by >= 2 terms become aux
-        # products evaluated once per (pair, eval) — e.g. the satclamp
-        # overflow-indicator chains appearing in ~10 terms each.
-        from collections import Counter
-        cnt = Counter()
-        for _, factors in terms:
-            if len(factors) >= 3:
-                cnt[tuple(factors[:-1])] += 1
-            if len(factors) >= 2:
-                cnt[tuple(factors)] += 1
-        aux: dict[tuple, int] = {}
-        for pref, k in cnt.items():
-            if k >= 2 and len(pref) >= 2 and len(aux) < self.MAXA:
-                aux[pref] = self.P + len(aux)
-        new_terms = []
-        for c, factors in terms:
-            tf = tuple(factors)
-            if tf in aux:
-                new_terms.append((c, [aux[tf]]))
-            elif len(factors) >= 3 and tf[:-1] in aux:
-                new_terms.append((c, [aux[tf[:-1]], factors[-1]]))
-            else:
-                new_terms.append((c, list(factors)))
-        aux_offs = [0]
-        aux_fidx: list[int] = []
-        for pref in aux:  # insertion order == slot order
-            aux_fidx.extend(pref)
-            aux_offs.append(len(aux_fidx))
-        self.A = len(aux)
-        self.aux_offsets = np.asarray(aux_offs, dtype=np.int64)
-        self.aux_fidx = np.asarray(aux_fidx if aux_fidx else [0],
-                                   dtype=np.int64)
-        self.coeffs = np.ascontiguousarray(
-            np.concatenate([_fr_limbs_cached(c) for c, _ in new_terms]))
-        offs = [0]
-        fidx = []
-        for _, factors in new_terms:
-            fidx.extend(factors)
-            offs.append(len(fidx))
-        self.offsets = np.asarray(offs, dtype=np.int64)
-        self.fidx = np.asarray(fidx, dtype=np.int64)
-        self.T = len(new_terms)
+        (self.coeffs, self.offsets, self.fidx, self.T, self.aux_offsets,
+         self.aux_fidx, self.A) = _encode_terms_cse(terms, self.P, self.MAXA)
 
     def round_points(self, degree: int) -> list[Fr]:
         nevals = max(1, degree)
@@ -432,6 +490,223 @@ class FusedInstance:
 
     def row_array(self, p: int) -> FrArray:
         return FrArray(self._rows[p][: self.n].copy())
+
+
+def _fr_signed(x: Fr):
+    """Recover a small signed integer from an Fr, or None."""
+    v = x.v
+    if v < (1 << 62):
+        return v
+    w = FR_MODULUS - v
+    if w < (1 << 62):
+        return -w
+    return None
+
+
+_R2_LIMBS = None
+
+
+def _r2_limbs() -> np.ndarray:
+    """Montgomery form of R (i.e. R^2 mod r) as a (1,4) u64 row."""
+    global _R2_LIMBS
+    if _R2_LIMBS is None:
+        _R2_LIMBS = _fr_limbs(Fr(pow(2, 256, FR_MODULUS)))
+    return _R2_LIMBS
+
+
+_DUMMY_U64 = np.zeros((1, 4), dtype=np.uint64)
+
+
+class GruenInstance:
+    """Sumcheck instance rows + product terms with the eq factor handled as
+    a Gruen/Dao-Thaler split weight (reference
+    joltworks/src/poly/split_eq_poly.rs:67): the per-round message kernel
+    receives tiny whi/wlo weight tables instead of a materialized eq row,
+    so the eq factor costs O(sqrt n) table rebuilds total instead of a row
+    mul per pair per eval plus binding.
+
+    Rows may start as *small integers* (witness values, chunk nibbles,
+    one-hot indicators); round 0 then runs in exact signed 128-bit integer
+    arithmetic with zero-skip (frv_gruen_round0_i64[fr]) — the dominant
+    round at half the total work — and the first challenge binding converts
+    to Montgomery rows (frv_bind_rows_i64).
+
+    Weight-table args per round come from poly.spliteq.SplitEq.
+    """
+
+    MAXE = 20
+    MAXP = 48
+    MAXA = 16
+
+    def __init__(self, rows: list, terms, max_degree: int):
+        # rows: FrArray | np.int64 1-D array entries, equal lengths
+        assert len(rows) <= self.MAXP, len(rows)
+        self.P = len(rows)
+        self.terms = [(c, list(f)) for c, f in terms]
+        int_rows: list[np.ndarray | None] = []
+        for rw in rows:
+            if isinstance(rw, FrArray):
+                int_rows.append(None)
+            else:
+                int_rows.append(np.ascontiguousarray(
+                    np.asarray(rw).ravel(), dtype=np.int64))
+        self.n = (len(rows[0]) if int_rows[0] is None
+                  else len(int_rows[0]))
+        for i, rw in enumerate(rows):
+            ln = len(rw) if int_rows[i] is None else len(int_rows[i])
+            assert ln == self.n
+        self._int_mode = all(ir is not None for ir in int_rows)
+        if self._int_mode and self.n > 1:
+            self._irows = int_rows
+            self._iptrs = (ctypes.POINTER(ctypes.c_int64) * self.P)(
+                *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+                  for rw in self._irows])
+            self._setup_int_encoding(max_degree)
+            self._rows = None
+        else:
+            self._int_mode = False
+            self._set_field_rows([
+                rows[i] if ir is None else FrArray.from_i64(ir)
+                for i, ir in enumerate(int_rows)])
+        self._field_enc = None
+
+    # -- integer round-0 path ---------------------------------------------
+    def _setup_int_encoding(self, max_degree: int) -> None:
+        # static overflow bound: with row magnitudes M, the extension at
+        # eval t is |e(t)| <= (2t-1)M; verify rows fit i64 and the summed
+        # per-pair term magnitude fits well under 2^126.
+        nevals = max(1, max_degree)
+        growth = 2 * nevals - 1
+        bounds = []
+        for rw in self._irows:
+            m = int(max(1, np.max(np.abs(rw)))) if len(rw) else 1
+            bounds.append(m * growth)
+        self._int_ok = all(b < (1 << 62) for b in bounds)
+        coeffs_int = []
+        total = 0
+        for c, factors in self.terms:
+            ci = _fr_signed(c)
+            coeffs_int.append(ci)
+            prod = 1
+            for f in factors:
+                prod *= bounds[f]
+            if prod >= (1 << 124):  # i128 overflow in either int kernel
+                self._int_ok = False
+            if ci is not None:
+                total += abs(ci) * prod
+        if not self._int_ok:
+            return
+        if all(ci is not None for ci in coeffs_int) and total < (1 << 124):
+            self._int_kind = "i64"
+            self._icoeffs = np.asarray(coeffs_int, dtype=np.int64)
+        else:
+            self._int_kind = "i64fr"
+            rows4 = np.ascontiguousarray(np.concatenate(
+                [_fr_limbs_cached(c) for c, _ in self.terms]))
+            out = np.empty_like(rows4)
+            _load().frv_scale(rows4, _r2_limbs(), out, len(rows4))
+            self._icoeffs = out  # R2-prescaled Montgomery coefficients
+        offs = [0]
+        fidx: list[int] = []
+        for _, factors in self.terms:
+            fidx.extend(factors)
+            offs.append(len(fidx))
+        self._ioffsets = np.asarray(offs, dtype=np.int64)
+        self._ifidx = np.asarray(fidx if fidx else [0], dtype=np.int64)
+
+    def _set_field_rows(self, rows: list[FrArray]) -> None:
+        self._rows = [_c(rw.d) for rw in rows]
+        self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+            *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+              for rw in self._rows])
+        self._irows = None
+
+    def _field_encoding(self):
+        if self._field_enc is None:
+            self._field_enc = _encode_terms_cse(self.terms, self.P, self.MAXA)
+        return self._field_enc
+
+    def _promote(self) -> None:
+        """Integer rows -> Montgomery rows without binding (mixed fallback)."""
+        self._set_field_rows([FrArray.from_i64(rw) for rw in self._irows])
+        self._int_mode = False
+
+    # -- round message -----------------------------------------------------
+    def round_points(self, nevals: int, whi, whi_shift: int, wlo,
+                     log_wlo: int) -> list[Fr]:
+        """[q(0), q(2), ..., q(nevals)] where q is the weighted term sum
+        (the eq factor's current-variable line is NOT included — the caller
+        assembles s(X) = eq_scalar * l(X) * q(X))."""
+        assert nevals <= self.MAXE
+        whi_a = _c(whi) if whi is not None else _DUMMY_U64
+        whi_n = len(whi_a) if whi is not None else 1
+        wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
+        out = np.zeros((nevals, 4), dtype=np.uint64)
+        if self._int_mode:
+            if not self._int_ok:
+                self._promote()
+            else:
+                fn = (_load().frv_gruen_round0_i64 if self._int_kind == "i64"
+                      else _load().frv_gruen_round0_i64fr)
+                fn(self._iptrs, self.P, self.n, nevals, self._icoeffs,
+                   self._ioffsets, self._ifidx, len(self.terms),
+                   whi_a, whi_n, whi_shift, wlo_a, log_wlo, out)
+                fa = FrArray(out)
+                return [fa.item(t) for t in range(nevals)]
+        coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
+            self._field_encoding()
+        _load().frv_gruen_round_p(self._ptrs, self.P, self.n, nevals,
+                                  coeffs, offsets, fidx, T,
+                                  aux_offs, aux_fidx, A,
+                                  whi_a, whi_n, whi_shift, wlo_a, log_wlo,
+                                  out)
+        fa = FrArray(out)
+        return [fa.item(t) for t in range(nevals)]
+
+    # -- binding -----------------------------------------------------------
+    def bind(self, r: Fr) -> None:
+        if self._int_mode:
+            half = self.n // 2
+            outs = [np.empty((half, 4), dtype=np.uint64)
+                    for _ in range(self.P)]
+            optrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                  for o in outs])
+            _load().frv_bind_rows_i64(self._iptrs, self.P, self.n,
+                                      _fr_limbs_cached(r), optrs)
+            self._rows = outs
+            self._ptrs = optrs
+            self._irows = None
+            self._int_mode = False
+            self.n = half
+            return
+        _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
+                                _fr_limbs_cached(r))
+        self.n //= 2
+
+    def row_value(self, p: int) -> Fr:
+        assert self.n == 1
+        if self._int_mode:
+            return Fr(int(self._irows[p][0]))
+        return FrArray(self._rows[p][:1]).item(0)
+
+    def row_array(self, p: int) -> FrArray:
+        if self._int_mode:
+            return FrArray.from_i64(self._irows[p][: self.n])
+        return FrArray(self._rows[p][: self.n].copy())
+
+
+def eq_expand(r: list[Fr], scale: Fr | None = None) -> FrArray:
+    """eq(r, x) table over {0,1}^len(r) in one C call (r[0] = MSB)."""
+    m = len(r)
+    rl = np.ascontiguousarray(np.concatenate(
+        [_fr_limbs_cached(x) for x in r])) if m else _DUMMY_U64
+    sc = _fr_limbs_cached(scale) if scale is not None else _r1_limbs()
+    out = np.empty((1 << m, 4), dtype=np.uint64)
+    scratch = np.empty((max(1, 1 << (m - 1)) if m else 1, 4),
+                       dtype=np.uint64)
+    _load().frv_eq_expand(rl, m, _c(sc), out, scratch)
+    return FrArray(out)
 
 
 def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:

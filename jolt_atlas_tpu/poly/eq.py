@@ -24,6 +24,9 @@ _MAX_CACHED_VARS = 14           # larger tables are one-offs (opening groups)
 
 
 def _build_eq(r: list[Fr]):
+    if vec.native_available():
+        from ..field import frvec
+        return frvec.eq_expand(r)  # single C call (frv_eq_expand)
     table = vec.full(1, Fr.one())
     for rj in r:  # r[0] first; each new variable becomes the LSB (interleave)
         hi = vec.vscale(table, rj)

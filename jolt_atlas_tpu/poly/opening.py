@@ -30,6 +30,7 @@ from .mlpoly import BindingOrder, MLPoly
 from .unipoly import UniPoly
 from ..subprotocols.sumcheck import (
     BatchedSumcheck,
+    RowsInstance,
     SumcheckInstanceProver,
     SumcheckInstanceVerifier,
 )
@@ -63,9 +64,14 @@ def _group_by_point(pending: list[_PendingOpening]):
     return [groups[k] for k in order]
 
 
-class _GroupReductionProver(SumcheckInstanceProver):
+class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
     """Proves sum_j gamma^j claim_j = sum_x eq(point, x) * G(x) where
-    G = sum_j gamma^j P_j over the members sharing this opening point."""
+    G = sum_j gamma^j P_j over the members sharing this opening point.
+
+    The eq factor rides the Gruen split-eq weight schedule (RowsInstance
+    eq_r) — the dominant cost of the old design was building, multiplying
+    and binding a 2^n-entry eq table per group (1.5 GB live at bench
+    scale); the split weight needs O(sqrt n) table entries total."""
 
     def __init__(self, members, gamma_powers: list[Fr]):
         self.members = members            # [(global_idx, _PendingOpening)]
@@ -75,8 +81,6 @@ class _GroupReductionProver(SumcheckInstanceProver):
             claim = claim + gamma_powers[j] * p.claim
         self.claim = claim
         self.gamma_powers = gamma_powers
-        self.poly: MLPoly | None = None
-        self.eq: MLPoly | None = None
         self.rlc_fvec = None              # kept for the joint materialization
 
     def prepare(self, poly_map):
@@ -105,16 +109,8 @@ class _GroupReductionProver(SumcheckInstanceProver):
             else:
                 acc = vec.vadd(acc, contrib)
         self.rlc_fvec = acc
-        self._fused = None
-        if vec.native_available():
-            from ..field.frvec import FrArray, FusedInstance
-            eq = eq_evals(self.point)
-            if isinstance(acc, FrArray) and isinstance(eq, FrArray):
-                self._fused = FusedInstance([eq, acc.copy()],
-                                            [(Fr.one(), [0, 1])])
-        if self._fused is None:
-            self.poly = MLPoly(fvec=acc.copy())
-            self.eq = MLPoly(fvec=eq_evals(self.point))
+        self.setup_rows([MLPoly(fvec=acc.copy())], [(Fr.one(), [0])],
+                        OPENING_SUMCHECK_DEGREE, eq_r=self.point)
 
     def num_rounds(self) -> int:
         return len(self.point)
@@ -126,25 +122,13 @@ class _GroupReductionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
-        if self._fused is not None:
-            return UniPoly.from_evals_and_hint(
-                previous_claim, self._fused.round_points(2))
-        e_eq = self.eq.sumcheck_evals(2, BindingOrder.HighToLow)
-        e_p = self.poly.sumcheck_evals(2, BindingOrder.HighToLow)
-        points = [vec.vsum(vec.vmul(e_eq[t], e_p[t])) for t in range(2)]
-        return UniPoly.from_evals_and_hint(previous_claim, points)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
-        if self._fused is not None:
-            self._fused.bind(r)
-            return
-        self.eq.bind(r, BindingOrder.HighToLow)
-        self.poly.bind(r, BindingOrder.HighToLow)
+        self.rows_bind(r)
 
     def final_poly_claim(self) -> Fr:
-        if self._fused is not None:
-            return self._fused.row_value(1)
-        return self.poly.final_claim()
+        return self.row_final(0)
 
 
 class _GroupReductionVerifier(SumcheckInstanceVerifier):

@@ -238,12 +238,14 @@ class BooleanityProver(RowsInstance, SumcheckInstanceProver):
         self.r_b = r_b
         self.gammas = gammas
         self._rounds = len(r_b)
-        rows = [MLPoly(fvec=eq_evals(r_b))] + list(ra_polys)
+        # eq(r_b) is a Gruen split weight over the whole (address, cycle)
+        # domain; the one-hot rows stay as sparse 0/1 integers through the
+        # i64fr round-0 kernel (zero-skip: ~1/8 pair density per chunk).
         terms = []
         for d, gamma in enumerate(gammas):
-            terms.append((gamma, [0, d + 1, d + 1]))
-            terms.append((Fr.zero() - gamma, [0, d + 1]))
-        self.setup_rows(rows, terms, 3)
+            terms.append((gamma, [d, d]))
+            terms.append((Fr.zero() - gamma, [d]))
+        self.setup_rows(list(ra_polys), terms, 3, eq_r=r_b)
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -265,7 +267,7 @@ class BooleanityProver(RowsInstance, SumcheckInstanceProver):
             accumulator.append_committed(
                 transcript,
                 OpeningId.committed(pid, SumcheckId.make("Booleanity")),
-                list(r), self.row_final(d + 1))
+                list(r), self.row_final(d))
 
 
 class BooleanityVerifier(SumcheckInstanceVerifier):
@@ -401,15 +403,15 @@ class RaVirtualizationProver(RowsInstance, SumcheckInstanceProver):
         self.sumcheck_id = sumcheck_id
         nv = len(r_address)
         self.r_addr_slices = []
-        rows = [MLPoly(fvec=eq_evals(r_cycle))]
+        rows = []
         for d in range(num_chunks):
             sl = r_address[nv - 4 * (d + 1): nv - 4 * d]
             self.r_addr_slices.append(sl)
             eq_d = eq_evals(sl)
             rows.append(MLPoly(fvec=eq_d[chunks[d]]))
         self._rounds = len(r_cycle)
-        self.setup_rows(rows, [(Fr.one(), list(range(num_chunks + 1)))],
-                        num_chunks + 1)
+        self.setup_rows(rows, [(Fr.one(), list(range(num_chunks)))],
+                        num_chunks + 1, eq_r=r_cycle)
 
     def num_rounds(self):
         return self._rounds
@@ -432,7 +434,7 @@ class RaVirtualizationProver(RowsInstance, SumcheckInstanceProver):
                 transcript,
                 OpeningId.committed(self.poly_id_fn(d), self.sumcheck_id),
                 list(self.r_addr_slices[d]) + list(r),
-                self.row_final(d + 1))
+                self.row_final(d))
 
 
 class RaVirtualizationVerifier(SumcheckInstanceVerifier):
@@ -494,17 +496,14 @@ class EqPairCheckProver(RowsInstance, SumcheckInstanceProver):
         T = len(chunks_a)
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
-        from ..field.frvec import FrArray
-        eqj = eq_evals(r_cycle)
-        if isinstance(eqj, FrArray):  # native: tile the limb rows directly
-            W = MLPoly(fvec=FrArray(np.tile(eqj.d, (K_CHUNK, 1))))
-        else:
-            W = MLPoly(fvec=np.tile(eqj, K_CHUNK))
+        # eq(r_cycle) = split weight over the trailing cycle vars; the 4
+        # chunk-address vars are plain (eq_pre) rounds.
         ra = one_hot_poly(chunks_a)
         rb = one_hot_poly(chunks_b)
         self.r_cycle = r_cycle
         self._rounds = ra.num_vars
-        self.setup_rows([W, ra, rb], [(Fr.one(), [0, 1, 2])], 3)
+        self.setup_rows([ra, rb], [(Fr.one(), [0, 1])], 3,
+                        eq_r=r_cycle, eq_pre=LOG_K_CHUNK)
 
     def num_rounds(self):
         return self._rounds
@@ -524,10 +523,10 @@ class EqPairCheckProver(RowsInstance, SumcheckInstanceProver):
     def cache_openings(self, accumulator, transcript, r):
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_a, self.sid), list(r),
-            self.row_final(1))
+            self.row_final(0))
         accumulator.append_committed(
             transcript, OpeningId.committed(self.pid_b, self.sid), list(r),
-            self.row_final(2))
+            self.row_final(1))
 
 
 class EqPairCheckVerifier(SumcheckInstanceVerifier):
@@ -566,17 +565,10 @@ class LtPairCheckProver(RowsInstance, SumcheckInstanceProver):
         self.pid_a, self.pid_b, self.sid = pid_a, pid_b, sid
         self.claim = claim
         self.r_cycle = r_cycle
-        from ..field.frvec import FrArray
-        eqj = eq_evals(r_cycle)
-        # W(k, k', j) = LT16[k, k'] * eq(j); domain (k, k', j) flattened
-        if isinstance(eqj, FrArray):  # native: 0/1 mask times limb rows
-            Wd = (LT16.reshape(-1).astype(np.uint64)[:, None, None]
-                  * eqj.d[None, :, :])
-            self.W = MLPoly(fvec=FrArray(
-                np.ascontiguousarray(Wd.reshape(-1, 4))))
-        else:
-            W = (LT16[:, :, None] * eqj[None, None, :]) % vec.R
-            self.W = MLPoly(fvec=W.reshape(-1).astype(object))
+        # domain (k, k', j): weight = LT16(k,k') as an integer row times a
+        # split-eq weight over j (the 8 address vars are plain rounds)
+        lt_row = np.ascontiguousarray(np.broadcast_to(
+            LT16[:, :, None], (K_CHUNK, K_CHUNK, T))).reshape(-1)
         # lifted one-hots: A(k,k',j) = ra_a(k,j); B(k,k',j) = ra_b(k',j)
         oa = np.zeros((K_CHUNK, T), dtype=np.int64)
         oa[chunks_a, np.arange(T)] = 1
@@ -584,10 +576,12 @@ class LtPairCheckProver(RowsInstance, SumcheckInstanceProver):
         ob[chunks_b, np.arange(T)] = 1
         A = np.broadcast_to(oa[:, None, :], (K_CHUNK, K_CHUNK, T))
         B = np.broadcast_to(ob[None, :, :], (K_CHUNK, K_CHUNK, T))
+        lt = MLPoly(ints=lt_row)
         ra = MLPoly(ints=np.ascontiguousarray(A).reshape(-1))
         rb = MLPoly(ints=np.ascontiguousarray(B).reshape(-1))
         self._rounds = ra.num_vars
-        self.setup_rows([self.W, ra, rb], [(Fr.one(), [0, 1, 2])], 3)
+        self.setup_rows([lt, ra, rb], [(Fr.one(), [0, 1, 2])], 3,
+                        eq_r=r_cycle, eq_pre=2 * LOG_K_CHUNK)
 
     def num_rounds(self):
         return self._rounds

@@ -53,23 +53,66 @@ class SumcheckInstanceProver(ABC):
 
 class RowsInstance:
     """Mixin engine for product-terms instances:
-        points[t] = sum_j sum_terms coeff * prod_{i in idxs} rows[i](t, j)
+        points[t] = sum_j [eq weight] * sum_terms coeff * prod rows[i](t, j)
 
     Rows are MLPolys of equal length; `terms` is [(Fr coeff, [row indices])].
-    Uses the fused native kernel (one C call per round, field/frvec.py
-    FusedInstance) when available; falls back to the generic vec loop.
-    Covers AddressReadCheck/Booleanity/ReadRaf/RaVirtualization/Eq-LtPair/
-    contraction instances — the per-instance classes keep only their claim
-    logic and opening bookkeeping.
+
+    When ``eq_r`` is given, the eq factor is NOT a row: on the native path
+    it becomes a Gruen split-eq weight schedule (poly/spliteq.py +
+    frvec.GruenInstance — integer round-0 kernels, O(sqrt n) weight tables,
+    one fewer eval point on eq rounds); ``degree`` stays the TOTAL degree
+    including the eq factor, and row indices refer to the product rows
+    only. ``eq_pre`` leading / ``eq_post`` trailing plain variables select
+    the suffix-eq / prefix-eq layout (see SplitEq docstring). The
+    object-int fallback materializes the tiled eq row instead — the round
+    messages are bit-identical either way.
+
+    Without ``eq_r``: the fused native kernel (FusedInstance) or the
+    generic vec loop, as before. Covers AddressReadCheck/Booleanity/
+    ReadRaf/RaVirtualization/Eq-LtPair/CycleExecution/contraction
+    instances — the per-instance classes keep only their claim logic and
+    opening bookkeeping.
     """
 
-    def setup_rows(self, mlpolys: list, terms, degree: int) -> None:
+    def setup_rows(self, mlpolys: list, terms, degree: int,
+                   eq_r: list[Fr] | None = None, eq_pre: int = 0,
+                   eq_post: int = 0) -> None:
         from ..field import vec
-        self._rows_terms = terms
         self._rows_deg = degree
-        self._mlrows = mlpolys
         self._rows_fused = None
-        if vec.native_available():
+        self._gruen = None
+        self._se = None
+        self._rows_round = 0
+        self._eq_offset = 0
+        native = vec.native_available()
+        if eq_r is not None and native and mlpolys:
+            from ..field.frvec import GruenInstance
+            if (len(mlpolys) <= GruenInstance.MAXP
+                    and max(1, degree) <= GruenInstance.MAXE):
+                from ..poly.spliteq import SplitEq
+                rows = [p.ints if p.is_small() else p.to_field()
+                        for p in mlpolys]
+                self._gruen = GruenInstance(rows, terms, degree)
+                self._se = SplitEq(eq_r, pre_vars=eq_pre, post_vars=eq_post)
+                self._rows_terms = terms
+                self._mlrows = mlpolys
+                return
+        if eq_r is not None:
+            # fallback: materialize the tiled eq row as row 0
+            import numpy as np
+            from ..poly.eq import eq_evals
+            from ..poly.mlpoly import MLPoly
+            eq_t = vec.as_object(eq_evals(eq_r))
+            if eq_pre:
+                eq_t = np.tile(eq_t, 1 << eq_pre)
+            if eq_post:
+                eq_t = np.repeat(eq_t, 1 << eq_post)
+            mlpolys = [MLPoly(fvec=eq_t)] + list(mlpolys)
+            terms = [(c, [0] + [i + 1 for i in f]) for c, f in terms]
+            self._eq_offset = 1
+        self._rows_terms = terms
+        self._mlrows = mlpolys
+        if native:
             from ..field.frvec import FrArray, FusedInstance
             rows = [p.to_field() for p in mlpolys]
             if (len(rows) <= FusedInstance.MAXP
@@ -81,6 +124,8 @@ class RowsInstance:
         from ..field import vec
         from ..poly.mlpoly import BindingOrder
         d = self._rows_deg
+        if self._gruen is not None:
+            return self._gruen_message(previous_claim)
         if self._rows_fused is not None:
             return UniPoly.from_evals_and_hint(
                 previous_claim, self._rows_fused.round_points(d))
@@ -103,8 +148,47 @@ class RowsInstance:
             points.append(vec.vsum(acc))
         return UniPoly.from_evals_and_hint(previous_claim, points)
 
+    def _gruen_message(self, previous_claim: Fr) -> UniPoly:
+        """Assemble s(X) from the weighted product evals (see SplitEq)."""
+        from ..poly.spliteq import inv_cached
+        se = self._se
+        rnd = self._rows_round
+        d = self._rows_deg
+        whi, whi_shift, wlo, log_wlo = se.tables(rnd)
+        lin = se.l_linear(rnd)
+        es = se.scalar
+        one = Fr.one()
+        if lin is None:
+            # weight constant w.r.t. the current variable: s(X) = es * q(X)
+            pts = self._gruen.round_points(max(1, d), whi, whi_shift, wlo,
+                                           log_wlo)
+            if es.v != one.v:
+                pts = [es * p for p in pts]
+            return UniPoly.from_evals_and_hint(previous_claim, pts)
+        dq = max(1, d - 1)
+        qev = self._gruen.round_points(dq, whi, whi_shift, wlo, log_wlo)
+        l0, l1 = lin
+        q0 = qev[0]
+        # claim = es * (l(0) q(0) + l(1) q(1))  =>  recover q(1)
+        q1 = (previous_claim * se.scalar_inv - l0 * q0) * inv_cached(l1)
+        q = UniPoly.from_evals([q0, q1] + list(qev[1:]))
+        # s(X) = es * l(X) * q(X); l(X) = l0 + X (l1 - l0)
+        b = l1 - l0
+        s = [Fr.zero()] * (len(q.coeffs) + 1)
+        for i, c in enumerate(q.coeffs):
+            s[i] = s[i] + l0 * c
+            s[i + 1] = s[i + 1] + b * c
+        if es.v != one.v:
+            s = [es * x for x in s]
+        return UniPoly(s)
+
     def rows_bind(self, r: Fr) -> None:
         from ..poly.mlpoly import BindingOrder
+        if self._gruen is not None:
+            self._gruen.bind(r)
+            self._se.note_challenge(r, self._rows_round)
+            self._rows_round += 1
+            return
         if self._rows_fused is not None:
             self._rows_fused.bind(r)
             return
@@ -112,9 +196,11 @@ class RowsInstance:
             p.bind(r, BindingOrder.HighToLow)
 
     def row_final(self, i: int) -> Fr:
+        if self._gruen is not None:
+            return self._gruen.row_value(i)
         if self._rows_fused is not None:
-            return self._rows_fused.row_value(i)
-        return self._mlrows[i].final_claim()
+            return self._rows_fused.row_value(i + self._eq_offset)
+        return self._mlrows[i + self._eq_offset].final_claim()
 
 
 class SumcheckInstanceVerifier(ABC):

@@ -44,6 +44,7 @@ from ..poly.eq import eq_evals, eq_eval_scalar
 from ..poly.mlpoly import BindingOrder, MLPoly
 from ..poly.unipoly import UniPoly
 from ..subprotocols.sumcheck import (
+    RowsInstance,
     SumcheckInstanceProver,
     SumcheckInstanceVerifier,
 )
@@ -132,8 +133,12 @@ def eval_clamp_reference(acc: np.ndarray) -> np.ndarray:
 # cycle execution sumcheck
 # ---------------------------------------------------------------------------
 
-class CycleExecutionProver(SumcheckInstanceProver):
-    """input_claim = sum_j eq(r, j) * sum_terms coeff * prod(named polys)."""
+class CycleExecutionProver(RowsInstance, SumcheckInstanceProver):
+    """input_claim = sum_j eq(r, j) * sum_terms coeff * prod(named polys).
+
+    eq(r) rides the Gruen split-eq weight schedule (RowsInstance eq_r);
+    the named witness/derived polys stay small integers through the
+    round-0 kernels."""
 
     def __init__(self, named_polys: dict[str, MLPoly], terms, r: list[Fr],
                  input_claim: Fr, opening_specs: list[tuple[str, OpeningId]]):
@@ -142,22 +147,14 @@ class CycleExecutionProver(SumcheckInstanceProver):
         self.r = r
         self.claim = input_claim
         self.opening_specs = opening_specs
-        self.eq = MLPoly(fvec=eq_evals(r))
         self._deg = 1 + max(len(f) for _, f in terms)
         self._rounds = len(r)
-        self._fused = None
-        if vec.native_available():
-            from ..field.frvec import FrArray, FusedInstance
-            names = list(named_polys)
-            rows = [self.eq.to_field()] + [named_polys[n].to_field()
-                                           for n in names]
-            if (len(rows) <= FusedInstance.MAXP
-                    and self._deg <= FusedInstance.MAXE
-                    and all(isinstance(rw, FrArray) for rw in rows)):
-                self._row_idx = {n: i + 1 for i, n in enumerate(names)}
-                fterms = [(c, [0] + [self._row_idx[f] for f in factors])
-                          for c, factors in terms]
-                self._fused = FusedInstance(rows, fterms)
+        names = list(named_polys)
+        self._row_idx = {n: i for i, n in enumerate(names)}
+        fterms = [(c, [self._row_idx[f] for f in factors])
+                  for c, factors in terms]
+        self.setup_rows([named_polys[n] for n in names], fterms, self._deg,
+                        eq_r=r)
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -169,42 +166,13 @@ class CycleExecutionProver(SumcheckInstanceProver):
         return self.claim
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
-        d = self._deg
-        if self._fused is not None:
-            return UniPoly.from_evals_and_hint(
-                previous_claim, self._fused.round_points(d))
-        cache = {n: p.sumcheck_evals(d, BindingOrder.HighToLow)
-                 for n, p in self.polys.items()}
-        e_eq = self.eq.sumcheck_evals(d, BindingOrder.HighToLow)
-        half = len(e_eq[0])
-        points = []
-        for t in range(d):  # evals at 0, 2, ..., d
-            acc = None
-            for coeff, factors in self.terms:
-                if factors:
-                    prod = None
-                    for name in factors:
-                        ev = cache[name][t]
-                        prod = ev if prod is None else vec.vmul(prod, ev)
-                    term = vec.vscale(prod, coeff)
-                else:  # constant term: coeff * 1
-                    term = vec.full(half, coeff)
-                acc = term if acc is None else vec.vadd(acc, term)
-            points.append(vec.vsum(vec.vmul(e_eq[t], acc)))
-        return UniPoly.from_evals_and_hint(previous_claim, points)
+        return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r_j: Fr, round: int) -> None:
-        if self._fused is not None:
-            self._fused.bind(r_j)
-            return
-        self.eq.bind(r_j, BindingOrder.HighToLow)
-        for p in self.polys.values():
-            p.bind(r_j, BindingOrder.HighToLow)
+        self.rows_bind(r_j)
 
     def _final(self, name: str) -> Fr:
-        if self._fused is not None:
-            return self._fused.row_value(self._row_idx[name])
-        return self.polys[name].final_claim()
+        return self.row_final(self._row_idx[name])
 
     def final_claims(self) -> dict[str, Fr]:
         return {n: self._final(n) for n in self.polys}
@@ -297,7 +265,9 @@ def build_ra_checks_provers(node_idx: int, families: list[tuple[ChunkFamily, dic
     for fam, _ in families:
         for d in range(fam.num_chunks):
             all_ids.append(fam.poly_id_fn(d))
-            all_ras.append(onehot.one_hot_fvec(fam.chunks[d]))
+            # integer one-hots: BooleanityProver's Gruen round-0 kernel
+            # consumes sparse 0/1 rows directly (no field conversion)
+            all_ras.append(onehot.one_hot_poly(fam.chunks[d]))
     gammas = transcript.challenge_vector(len(all_ids))
     r_b = transcript.challenge_vector_optimized(LOG_K_CHUNK + log_t)
     instances = [onehot.BooleanityProver(all_ids, all_ras, r_b, gammas)]
