@@ -458,13 +458,13 @@ class FusedInstance:
             assert len(rw) == n
         self.n = n
         self.P = len(rows)
-        # zero-copy: keep each (already contiguous) row buffer; bind in place.
-        # A row buffer may be shared with the caller's FrArray — binding
-        # mutates it, so callers hand over ownership (clone first if needed).
+        # zero-copy rows; the first bind writes into fresh half-size buffers
+        # (copy-on-first-bind), so callers' arrays are never mutated.
         self._rows = [_c(rw.d) for rw in rows]
         self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
             *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
               for rw in self._rows])
+        self._rows_shared = True
         (self.coeffs, self.offsets, self.fidx, self.T, self.aux_offsets,
          self.aux_fidx, self.A) = _encode_terms_cse(terms, self.P, self.MAXA)
 
@@ -480,6 +480,22 @@ class FusedInstance:
         return [fa.item(t) for t in range(nevals)]
 
     def bind(self, r: Fr) -> None:
+        if self._rows_shared:
+            half = self.n // 2
+            lib = _load()
+            rl = _fr_limbs_cached(r)
+            outs = []
+            for rw in self._rows:
+                o = np.empty((half, 4), dtype=np.uint64)
+                lib.frv_bind(rw[:half], rw[half: self.n], rl, o, half)
+                outs.append(o)
+            self._rows = outs
+            self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                  for o in outs])
+            self._rows_shared = False
+            self.n = half
+            return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
                                 _fr_limbs_cached(r))
         self.n //= 2
@@ -620,6 +636,10 @@ class GruenInstance:
             *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
               for rw in self._rows])
         self._irows = None
+        # copy-on-first-bind: the caller's arrays are only READ until the
+        # first challenge; the first bind writes into fresh half-size
+        # buffers, so callers never need defensive copies.
+        self._rows_shared = True
 
     def _field_encoding(self):
         if self._field_enc is None:
@@ -678,6 +698,25 @@ class GruenInstance:
             self._ptrs = optrs
             self._irows = None
             self._int_mode = False
+            self._rows_shared = False
+            self.n = half
+            return
+        if self._rows_shared:
+            # first field bind: write into fresh half-size buffers instead
+            # of mutating the caller's arrays
+            half = self.n // 2
+            lib = _load()
+            rl = _fr_limbs_cached(r)
+            outs = []
+            for rw in self._rows:
+                o = np.empty((half, 4), dtype=np.uint64)
+                lib.frv_bind(rw[:half], rw[half: self.n], rl, o, half)
+                outs.append(o)
+            self._rows = outs
+            self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                  for o in outs])
+            self._rows_shared = False
             self.n = half
             return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,

@@ -15,8 +15,9 @@ from ..field.scalar import Fr
 # Built eq tables are memoized by point: the IOP opens every instance of a
 # node at the same r_cycle, so the same table is requested dozens of times
 # (profiling: 940 eq_evals calls / ~10 s per prove before the cache).
-# Entries are returned as COPIES — callers hand tables to FusedInstance,
-# which binds them in place.
+# Cache hits share the underlying buffer: every consumer is read-only —
+# the fused sumcheck engines copy-on-first-bind, and MLPoly.bind writes a
+# fresh array.
 _CACHE: dict[tuple, object] = {}
 _CACHE_ELEMS = 0
 _MAX_CACHE_ELEMS = 1 << 22      # ~128 MB of (n,4) u64 rows
@@ -58,13 +59,12 @@ def eq_evals(r: list[Fr], scale: Fr | None = None):
             if _CACHE_ELEMS + len(built) > _MAX_CACHE_ELEMS:
                 _CACHE.clear()
                 _CACHE_ELEMS = 0
-            _CACHE[key] = FrArray(built.d.copy())
+            _CACHE[key] = built
             _CACHE_ELEMS += len(built)
-        # miss: hand the freshly built table to the caller without a copy
         return built if scale is None else built.scale(scale)
     if scale is not None:
-        return base.scale(scale)  # scale already copies
-    return FrArray(base.d.copy())
+        return base.scale(scale)  # scale copies
+    return FrArray(base.d)  # shared buffer; consumers are read-only
 
 
 def eq_eval_scalar(x: list[Fr], y: list[Fr]) -> Fr:

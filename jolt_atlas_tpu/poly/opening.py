@@ -109,7 +109,9 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
             else:
                 acc = vec.vadd(acc, contrib)
         self.rlc_fvec = acc
-        self.setup_rows([MLPoly(fvec=acc.copy())], [(Fr.one(), [0])],
+        # no copy: the sumcheck engine copies-on-first-bind, so rlc_fvec
+        # stays intact for the joint materialization after the reduction
+        self.setup_rows([MLPoly(fvec=acc)], [(Fr.one(), [0])],
                         OPENING_SUMCHECK_DEGREE, eq_r=self.point)
 
     def num_rounds(self) -> int:

@@ -163,7 +163,9 @@ class AddressReadCheckProver(RowsInstance, SumcheckInstanceProver):
         self.claim = claim
         self.appends_opening = appends_opening
         self._rounds = table.num_vars
-        self.setup_rows([table, MLPoly(fvec=G.copy())],
+        # G is shared across this chunk's read-check instances; safe without
+        # a copy — the fused engine copies-on-first-bind
+        self.setup_rows([table, MLPoly(fvec=G)],
                         [(Fr.one(), [0, 1])], 2)
 
     def num_rounds(self) -> int:
