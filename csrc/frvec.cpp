@@ -380,7 +380,7 @@ void frv_terms_round(const u64* rows, i64 P, i64 n, int nevals,
                      const u64* coeffs, const i64* offsets, const i64* fidx,
                      i64 T, u64* out){
   i64 half=n/2;
-  const int MAXE=20, MAXP=48;  // degree/row caps (checked Python-side)
+  const int MAXE=20, MAXP=96;  // degree/row caps (checked Python-side)
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -431,7 +431,7 @@ void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
                        i64 T, const i64* aux_offsets, const i64* aux_fidx,
                        i64 A, u64* out){
   i64 half=n/2;
-  const int MAXE=20, MAXP=48, MAXA=16;
+  const int MAXE=20, MAXP=96, MAXA=16;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -565,7 +565,7 @@ void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
                        i64 A, const u64* whi, i64 whi_n, int whi_shift,
                        const u64* wlo, int log_wlo, u64* out){
   i64 half = n/2;
-  const int MAXE=20, MAXP=48, MAXA=16;
+  const int MAXE=20, MAXP=96, MAXA=16;
   const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
@@ -708,7 +708,7 @@ void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
                           int whi_shift, const u64* wlo, int log_wlo,
                           u64* out){
   i64 half = n/2;
-  const int MAXE=20, MAXP=48;
+  const int MAXE=20, MAXP=96;
   const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
@@ -778,7 +778,7 @@ void frv_gruen_round0_i64fr(const i64* const* rows, i64 P, i64 n, int nevals,
                             int whi_shift, const u64* wlo, int log_wlo,
                             u64* out){
   i64 half = n/2;
-  const int MAXE=20, MAXP=48;
+  const int MAXE=20, MAXP=96;
   const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};

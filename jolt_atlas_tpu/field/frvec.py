@@ -476,8 +476,7 @@ class FusedInstance:
                                   self.coeffs, self.offsets, self.fidx,
                                   self.T, self.aux_offsets, self.aux_fidx,
                                   self.A, out)
-        fa = FrArray(out)
-        return [fa.item(t) for t in range(nevals)]
+        return FrArray(out).to_fr_list()
 
     def bind(self, r: Fr) -> None:
         if self._rows_shared:
@@ -671,8 +670,7 @@ class GruenInstance:
                 fn(self._iptrs, self.P, self.n, nevals, self._icoeffs,
                    self._ioffsets, self._ifidx, len(self.terms),
                    whi_a, whi_n, whi_shift, wlo_a, log_wlo, out)
-                fa = FrArray(out)
-                return [fa.item(t) for t in range(nevals)]
+                return FrArray(out).to_fr_list()
         coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
             self._field_encoding()
         _load().frv_gruen_round_p(self._ptrs, self.P, self.n, nevals,
@@ -680,8 +678,7 @@ class GruenInstance:
                                   aux_offs, aux_fidx, A,
                                   whi_a, whi_n, whi_shift, wlo_a, log_wlo,
                                   out)
-        fa = FrArray(out)
-        return [fa.item(t) for t in range(nevals)]
+        return FrArray(out).to_fr_list()
 
     # -- binding -----------------------------------------------------------
     def bind(self, r: Fr) -> None:

@@ -118,6 +118,16 @@ class OpeningId:
     poly: _TaggedId
     sumcheck: SumcheckId
 
+    def sort_key(self):
+        """Flat primitive tuple, cached — dataclass-recursive __lt__ was a
+        measured hotspot (1M comparisons per prove in sorted_pending)."""
+        k = self.__dict__.get("_sk")
+        if k is None:
+            k = (self.is_virtual, self.poly.tag_index, self.poly.payload,
+                 self.sumcheck.tag_index, self.sumcheck.payload)
+            object.__setattr__(self, "_sk", k)
+        return k
+
     @classmethod
     def committed(cls, poly: CommittedPoly, sumcheck: SumcheckId) -> "OpeningId":
         return cls(False, poly, sumcheck)

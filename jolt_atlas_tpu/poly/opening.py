@@ -188,7 +188,7 @@ class ProverOpeningAccumulator:
         return self.pending
 
     def sorted_pending(self) -> list[_PendingOpening]:
-        return [self.pending[k] for k in sorted(self.pending)]
+        return [self.pending[k] for k in sorted(self.pending, key=OpeningId.sort_key)]
 
     # -- batch opening reduction ------------------------------------------
     def prove_batch_opening(self, poly_map, transcript):
@@ -255,7 +255,7 @@ class VerifierOpeningAccumulator:
         return self.pending
 
     def sorted_pending(self) -> list[_PendingOpening]:
-        return [self.pending[k] for k in sorted(self.pending)]
+        return [self.pending[k] for k in sorted(self.pending, key=OpeningId.sort_key)]
 
     def verify_batch_opening(self, proof, group_claims: list[Fr], transcript):
         """Verifies the point-grouped batched reduction sumcheck; returns

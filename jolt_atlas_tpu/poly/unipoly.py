@@ -13,27 +13,47 @@ from __future__ import annotations
 from ..field.scalar import Fr, batch_inverse
 
 
-def _interpolate_at_0_to_d(evals: list[Fr]) -> list[Fr]:
-    """Lagrange interpolation through points (0, e0), ..., (d, ed) -> coeffs."""
-    d = len(evals) - 1
-    # Solve Vandermonde system V c = e with V_ij = i^j. Tiny (d <= 4 typical).
-    n = d + 1
+_VINV_CACHE: dict[int, list[list[Fr]]] = {}
+
+
+def _vinv(n: int) -> list[list[Fr]]:
+    """Inverse of the (n x n) Vandermonde matrix V_ij = i^j over Fr,
+    computed once per degree (coeffs = Vinv @ evals; interpolation then
+    costs n^2 field muls instead of a Gaussian elimination per call)."""
+    got = _VINV_CACHE.get(n)
+    if got is not None:
+        return got
     mat = [[Fr(pow(i, j)) for j in range(n)] for i in range(n)]
-    vec = list(evals)
-    # Gaussian elimination over Fr
+    inv = [[Fr.one() if i == j else Fr.zero() for j in range(n)]
+           for i in range(n)]
     for col in range(n):
         piv = next(r for r in range(col, n) if not mat[r][col].is_zero())
         mat[col], mat[piv] = mat[piv], mat[col]
-        vec[col], vec[piv] = vec[piv], vec[col]
-        inv = mat[col][col].inverse()
-        mat[col] = [x * inv for x in mat[col]]
-        vec[col] = vec[col] * inv
+        inv[col], inv[piv] = inv[piv], inv[col]
+        s = mat[col][col].inverse()
+        mat[col] = [x * s for x in mat[col]]
+        inv[col] = [x * s for x in inv[col]]
         for r in range(n):
             if r != col and not mat[r][col].is_zero():
                 f = mat[r][col]
                 mat[r] = [x - f * y for x, y in zip(mat[r], mat[col])]
-                vec[r] = vec[r] - f * vec[col]
-    return vec
+                inv[r] = [x - f * y for x, y in zip(inv[r], inv[col])]
+    _VINV_CACHE[n] = inv
+    return inv
+
+
+def _interpolate_at_0_to_d(evals: list[Fr]) -> list[Fr]:
+    """Lagrange interpolation through points (0, e0), ..., (d, ed) -> coeffs."""
+    n = len(evals)
+    vinv = _vinv(n)
+    out = []
+    for row in vinv:
+        acc = row[0] * evals[0]
+        for x, e in zip(row[1:], evals[1:]):
+            if not x.is_zero():
+                acc = acc + x * e
+        out.append(acc)
+    return out
 
 
 class UniPoly:

@@ -57,7 +57,7 @@ def collect_node_claims(accumulator, node_idx):
     """All (id, point, claim) openings on NodeOutput(node_idx), sorted."""
     target = VirtualPoly.make("NodeOutput", node_idx)
     out = []
-    for oid in sorted(accumulator.openings):
+    for oid in sorted(accumulator.openings, key=OpeningId.sort_key):
         if oid.is_virtual and oid.poly == target:
             point, claim = accumulator.openings[oid]
             out.append((oid, point, claim))
