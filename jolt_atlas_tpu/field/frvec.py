@@ -85,19 +85,22 @@ def _load():
     os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
     try:
         lib = ctypes.CDLL(so)
+        vp = ctypes.c_void_p
+        # hot kernels take raw pointers (arr.ctypes.data ints): ndpointer's
+        # per-call from_param validation was a measured ~3 s/prove
         for name, args in [
             ("frv_from_i64", [_I64, _U64, ctypes.c_int64]),
             ("frv_encode", [_U64, _U64, ctypes.c_int64]),
-            ("frv_decode", [_U64, _U64, ctypes.c_int64]),
-            ("frv_mul", [_U64, _U64, _U64, ctypes.c_int64]),
-            ("frv_add", [_U64, _U64, _U64, ctypes.c_int64]),
-            ("frv_sub", [_U64, _U64, _U64, ctypes.c_int64]),
-            ("frv_scale", [_U64, _U64, _U64, ctypes.c_int64]),
-            ("frv_axpy", [_U64, _U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_decode", [vp, vp, ctypes.c_int64]),
+            ("frv_mul", [vp, vp, vp, ctypes.c_int64]),
+            ("frv_add", [vp, vp, vp, ctypes.c_int64]),
+            ("frv_sub", [vp, vp, vp, ctypes.c_int64]),
+            ("frv_scale", [vp, vp, vp, ctypes.c_int64]),
+            ("frv_axpy", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_sum", [_U64, ctypes.c_int64, _U64]),
             ("frv_dot", [_U64, _U64, ctypes.c_int64, _U64]),
             ("frv_dot3", [_U64, _U64, _U64, ctypes.c_int64, _U64]),
-            ("frv_bind", [_U64, _U64, _U64, _U64, ctypes.c_int64]),
+            ("frv_bind", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_eval_ladder", [_U64, _U64, ctypes.c_int64, ctypes.c_int,
                                  _U64]),
             ("frv_scatter_add", [_U64, _I64, ctypes.c_int64, _U64,
@@ -120,28 +123,28 @@ def _load():
         ppi = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
         for name, args in [
             ("frv_terms_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
-                                   ctypes.c_int, _U64, _I64, _I64,
-                                   ctypes.c_int64, _I64, _I64,
-                                   ctypes.c_int64, _U64]),
-            ("frv_bind_rows_p", [pp, ctypes.c_int64, ctypes.c_int64, _U64]),
-            ("frv_eq_expand", [_U64, ctypes.c_int64, _U64, _U64, _U64]),
+                                   ctypes.c_int, vp, vp, vp,
+                                   ctypes.c_int64, vp, vp,
+                                   ctypes.c_int64, vp]),
+            ("frv_bind_rows_p", [pp, ctypes.c_int64, ctypes.c_int64, vp]),
+            ("frv_eq_expand", [vp, ctypes.c_int64, vp, vp, vp]),
             ("frv_gruen_round_p", [pp, ctypes.c_int64, ctypes.c_int64,
-                                   ctypes.c_int, _U64, _I64, _I64,
-                                   ctypes.c_int64, _I64, _I64,
-                                   ctypes.c_int64, _U64, ctypes.c_int64,
-                                   ctypes.c_int, _U64, ctypes.c_int, _U64]),
+                                   ctypes.c_int, vp, vp, vp,
+                                   ctypes.c_int64, vp, vp,
+                                   ctypes.c_int64, vp, ctypes.c_int64,
+                                   ctypes.c_int, vp, ctypes.c_int, vp]),
             ("frv_gruen_round0_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
-                                      ctypes.c_int, _I64, _I64, _I64,
-                                      ctypes.c_int64, _U64, ctypes.c_int64,
-                                      ctypes.c_int, _U64, ctypes.c_int,
-                                      _U64]),
+                                      ctypes.c_int, vp, vp, vp,
+                                      ctypes.c_int64, vp, ctypes.c_int64,
+                                      ctypes.c_int, vp, ctypes.c_int,
+                                      vp]),
             ("frv_gruen_round0_i64fr", [ppi, ctypes.c_int64, ctypes.c_int64,
-                                        ctypes.c_int, _U64, _I64, _I64,
-                                        ctypes.c_int64, _U64, ctypes.c_int64,
-                                        ctypes.c_int, _U64, ctypes.c_int,
-                                        _U64]),
+                                        ctypes.c_int, vp, vp, vp,
+                                        ctypes.c_int64, vp, ctypes.c_int64,
+                                        ctypes.c_int, vp, ctypes.c_int,
+                                        vp]),
             ("frv_bind_rows_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
-                                   _U64, pp]),
+                                   vp, pp]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -266,7 +269,7 @@ class FrArray:
         d = _c(self.d)
         n = len(d)
         can = np.empty((n, 4), dtype=np.uint64)
-        _load().frv_decode(d, can, n)
+        _load().frv_decode(d.ctypes.data, can.ctypes.data, n)
         b = can.tobytes()
         out = np.empty(n, dtype=object)
         for i in range(n):
@@ -281,13 +284,13 @@ class FrArray:
         scalar wire format shared with the MSM engine."""
         d = _c(self.d)
         can = np.empty_like(d)
-        _load().frv_decode(d, can, len(d))
+        _load().frv_decode(d.ctypes.data, can.ctypes.data, len(d))
         return can
 
     def item(self, i: int) -> Fr:
         d = _c(self.d[i: i + 1])
         can = np.empty((1, 4), dtype=np.uint64)
-        _load().frv_decode(d, can, 1)
+        _load().frv_decode(d.ctypes.data, can.ctypes.data, 1)
         v = 0
         for k in range(3, -1, -1):
             v = (v << 64) | int(can[0, k])
@@ -325,7 +328,7 @@ class FrArray:
         a, b = _c(self.d), _c(other.d)
         assert len(a) == len(b), (len(a), len(b))
         out = np.empty_like(a)
-        op(a, b, out, len(a))
+        op(a.ctypes.data, b.ctypes.data, out.ctypes.data, len(a))
         return FrArray(out)
 
     def add(self, other) -> "FrArray":
@@ -340,8 +343,8 @@ class FrArray:
     def scale(self, s: Fr) -> "FrArray":
         a = _c(self.d)
         out = np.empty_like(a)
-        _load().frv_scale(a, _fr_limbs_cached(s), out,
-                          len(a))
+        _load().frv_scale(a.ctypes.data, _fr_limbs_cached(s).ctypes.data,
+                          out.ctypes.data, len(a))
         return FrArray(out)
 
     def axpy_inplace(self, s: Fr, b: "FrArray", n: int | None = None) -> None:
@@ -349,7 +352,9 @@ class FrArray:
         count = len(b) if n is None else n
         a = self.d[:count]
         assert a.flags["C_CONTIGUOUS"]
-        _load().frv_axpy(a, _fr_limbs_cached(s), _c(b.d[:count]), a, count)
+        ap = a.ctypes.data
+        _load().frv_axpy(ap, _fr_limbs_cached(s).ctypes.data,
+                         _c(b.d[:count]).ctypes.data, ap, count)
 
     def sum(self) -> Fr:
         a = _c(self.d)
@@ -372,8 +377,9 @@ class FrArray:
         else:
             lo, hi = _c(self.d[:lo_hi_split]), _c(self.d[lo_hi_split:])
         out = np.empty_like(lo)
-        _load().frv_bind(lo, hi, _fr_limbs_cached(r),
-                         out, len(lo))
+        _load().frv_bind(lo.ctypes.data, hi.ctypes.data,
+                         _fr_limbs_cached(r).ctypes.data,
+                         out.ctypes.data, len(lo))
         return FrArray(out)
 
     def eval_ladder(self, degree: int, interleaved: bool) -> list["FrArray"]:
@@ -473,20 +479,24 @@ class FusedInstance:
         assert nevals <= self.MAXE
         out = np.zeros((nevals, 4), dtype=np.uint64)
         _load().frv_terms_round_p(self._ptrs, self.P, self.n, nevals,
-                                  self.coeffs, self.offsets, self.fidx,
-                                  self.T, self.aux_offsets, self.aux_fidx,
-                                  self.A, out)
+                                  self.coeffs.ctypes.data,
+                                  self.offsets.ctypes.data,
+                                  self.fidx.ctypes.data,
+                                  self.T, self.aux_offsets.ctypes.data,
+                                  self.aux_fidx.ctypes.data,
+                                  self.A, out.ctypes.data)
         return FrArray(out).to_fr_list()
 
     def bind(self, r: Fr) -> None:
         if self._rows_shared:
             half = self.n // 2
             lib = _load()
-            rl = _fr_limbs_cached(r)
+            rl = _fr_limbs_cached(r).ctypes.data
             outs = []
             for rw in self._rows:
                 o = np.empty((half, 4), dtype=np.uint64)
-                lib.frv_bind(rw[:half], rw[half: self.n], rl, o, half)
+                d = rw.ctypes.data
+                lib.frv_bind(d, d + half * 32, rl, o.ctypes.data, half)
                 outs.append(o)
             self._rows = outs
             self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
@@ -496,7 +506,7 @@ class FusedInstance:
             self.n = half
             return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
-                                _fr_limbs_cached(r))
+                                _fr_limbs_cached(r).ctypes.data)
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
@@ -619,7 +629,8 @@ class GruenInstance:
             rows4 = np.ascontiguousarray(np.concatenate(
                 [_fr_limbs_cached(c) for c, _ in self.terms]))
             out = np.empty_like(rows4)
-            _load().frv_scale(rows4, _r2_limbs(), out, len(rows4))
+            _load().frv_scale(rows4.ctypes.data, _r2_limbs().ctypes.data,
+                              out.ctypes.data, len(rows4))
             self._icoeffs = out  # R2-prescaled Montgomery coefficients
         offs = [0]
         fidx: list[int] = []
@@ -667,17 +678,22 @@ class GruenInstance:
             else:
                 fn = (_load().frv_gruen_round0_i64 if self._int_kind == "i64"
                       else _load().frv_gruen_round0_i64fr)
-                fn(self._iptrs, self.P, self.n, nevals, self._icoeffs,
-                   self._ioffsets, self._ifidx, len(self.terms),
-                   whi_a, whi_n, whi_shift, wlo_a, log_wlo, out)
+                fn(self._iptrs, self.P, self.n, nevals,
+                   self._icoeffs.ctypes.data, self._ioffsets.ctypes.data,
+                   self._ifidx.ctypes.data, len(self.terms),
+                   whi_a.ctypes.data, whi_n, whi_shift, wlo_a.ctypes.data,
+                   log_wlo, out.ctypes.data)
                 return FrArray(out).to_fr_list()
         coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
             self._field_encoding()
         _load().frv_gruen_round_p(self._ptrs, self.P, self.n, nevals,
-                                  coeffs, offsets, fidx, T,
-                                  aux_offs, aux_fidx, A,
-                                  whi_a, whi_n, whi_shift, wlo_a, log_wlo,
-                                  out)
+                                  coeffs.ctypes.data, offsets.ctypes.data,
+                                  fidx.ctypes.data, T,
+                                  aux_offs.ctypes.data,
+                                  aux_fidx.ctypes.data, A,
+                                  whi_a.ctypes.data, whi_n, whi_shift,
+                                  wlo_a.ctypes.data, log_wlo,
+                                  out.ctypes.data)
         return FrArray(out).to_fr_list()
 
     # -- binding -----------------------------------------------------------
@@ -690,7 +706,7 @@ class GruenInstance:
                 *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
                   for o in outs])
             _load().frv_bind_rows_i64(self._iptrs, self.P, self.n,
-                                      _fr_limbs_cached(r), optrs)
+                                      _fr_limbs_cached(r).ctypes.data, optrs)
             self._rows = outs
             self._ptrs = optrs
             self._irows = None
@@ -703,11 +719,12 @@ class GruenInstance:
             # of mutating the caller's arrays
             half = self.n // 2
             lib = _load()
-            rl = _fr_limbs_cached(r)
+            rl = _fr_limbs_cached(r).ctypes.data
             outs = []
             for rw in self._rows:
                 o = np.empty((half, 4), dtype=np.uint64)
-                lib.frv_bind(rw[:half], rw[half: self.n], rl, o, half)
+                d = rw.ctypes.data
+                lib.frv_bind(d, d + half * 32, rl, o.ctypes.data, half)
                 outs.append(o)
             self._rows = outs
             self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
@@ -717,7 +734,7 @@ class GruenInstance:
             self.n = half
             return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
-                                _fr_limbs_cached(r))
+                                _fr_limbs_cached(r).ctypes.data)
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
@@ -741,7 +758,8 @@ def eq_expand(r: list[Fr], scale: Fr | None = None) -> FrArray:
     out = np.empty((1 << m, 4), dtype=np.uint64)
     scratch = np.empty((max(1, 1 << (m - 1)) if m else 1, 4),
                        dtype=np.uint64)
-    _load().frv_eq_expand(rl, m, _c(sc), out, scratch)
+    _load().frv_eq_expand(rl.ctypes.data, m, _c(sc).ctypes.data,
+                          out.ctypes.data, scratch.ctypes.data)
     return FrArray(out)
 
 
