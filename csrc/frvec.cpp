@@ -258,10 +258,19 @@ void frv_dot3(const u64* a, const u64* b, const u64* c, i64 n, u64* out){
 // ---- sumcheck fused kernels ------------------------------------------------
 
 // bind: out[i] = lo[i] + r*(hi[i]-lo[i]), lo/hi length n
+static inline bool fr4_zero(const u64* p){
+  return (p[0]|p[1]|p[2]|p[3])==0;
+}
+
 void frv_bind(const u64* lo, const u64* hi, const u64* r, u64* out, i64 n){
   Fr4 rc; memcpy(rc.v,r,32);
   #pragma omp parallel for schedule(static) if(n>PAR_THRESH)
   for(i64 i=0;i<n;i++){
+    // zero-skip: one-hot rows stay mostly zero through the address rounds
+    if(fr4_zero(lo+i*4) && fr4_zero(hi+i*4)){
+      memset(out+i*4, 0, 32);
+      continue;
+    }
     Fr4 l,h,d,o;
     memcpy(l.v,lo+i*4,32); memcpy(h.v,hi+i*4,32);
     fr_sub(d,h,l);
@@ -485,6 +494,8 @@ void frv_bind_rows_p(u64* const* rows, i64 P, i64 n, const u64* r){
   #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
   for(i64 p=0;p<P;p++){
     for(i64 j=0;j<half;j++){
+      if(fr4_zero(rows[p]+j*4) && fr4_zero(rows[p]+(half+j)*4))
+        continue;  // zero-skip (lo already 0 in place)
       Fr4 lo,hi,d;
       memcpy(lo.v,rows[p]+j*4,32);
       memcpy(hi.v,rows[p]+(half+j)*4,32);
