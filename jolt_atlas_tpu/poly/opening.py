@@ -109,9 +109,12 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
             else:
                 acc = vec.vadd(acc, contrib)
         self.rlc_fvec = acc
-        # no copy: the sumcheck engine copies-on-first-bind, so rlc_fvec
-        # stays intact for the joint materialization after the reduction
-        self.setup_rows([MLPoly(fvec=acc)], [(Fr.one(), [0])],
+
+    def setup_sumcheck(self):
+        # no copy: the sumcheck engine copies-on-first-bind (and the device
+        # fleet uploads a copy), so rlc_fvec stays intact for the joint
+        # materialization after the reduction
+        self.setup_rows([MLPoly(fvec=self.rlc_fvec)], [(Fr.one(), [0])],
                         OPENING_SUMCHECK_DEGREE, eq_r=self.point)
 
     def num_rounds(self) -> int:
@@ -202,6 +205,11 @@ class ProverOpeningAccumulator:
                      for m in _group_by_point(pending)]
         for inst in instances:
             inst.prepare(poly_map)
+        # stack the large groups onto the accelerator (no-op without one)
+        from ..tpu import rowsengine
+        rowsengine.GroupFleet.try_build(instances)
+        for inst in instances:
+            inst.setup_sumcheck()
         proof, r_sumcheck = BatchedSumcheck.prove(instances, self, transcript)
         group_claims = [inst.final_poly_claim() for inst in instances]
         transcript.append_scalars(group_claims)
