@@ -66,10 +66,38 @@ class TensorProto:
     float_data: list = field(default_factory=list)
     int32_data: list = field(default_factory=list)
     int64_data: list = field(default_factory=list)
+    external_data: dict = field(default_factory=dict)  # location/offset/length
+    data_location: int = 0  # 1 = EXTERNAL (data lives in a sibling file)
+    base_dir: str = ""
+
+    def _load_external(self) -> bytes:
+        """Read the raw bytes of an externally-stored tensor (ONNX
+        data_location=EXTERNAL; reference models ship network.onnx.data
+        alongside network.onnx)."""
+        import os
+        loc = self.external_data.get("location")
+        if loc is None:
+            raise ValueError(f"tensor {self.name!r} is external but has "
+                             "no location entry")
+        if not self.base_dir:
+            raise ValueError(
+                f"tensor {self.name!r} has external data {loc!r}; parse the "
+                "model with parse_onnx(data, base_dir=...) to resolve it")
+        path = os.path.normpath(os.path.join(self.base_dir, loc))
+        if not os.path.abspath(path).startswith(
+                os.path.abspath(self.base_dir) + os.sep):
+            raise ValueError(f"external data path escapes model dir: {loc!r}")
+        offset = int(self.external_data.get("offset", 0))
+        with open(path, "rb") as f:
+            f.seek(offset)
+            length = self.external_data.get("length")
+            return f.read(int(length)) if length is not None else f.read()
 
     def to_array(self) -> np.ndarray:
         dt = self.data_type
         shape = tuple(self.dims)
+        if self.data_location == 1 and not self.raw_data:
+            self.raw_data = self._load_external()
         if self.raw_data:
             dtype = {1: "<f4", 6: "<i4", 7: "<i8", 11: "<f8", 9: "|b1",
                      10: "<f2", 12: "<u4", 13: "<u8", 2: "|u1", 3: "|i1",
@@ -83,7 +111,8 @@ class TensorProto:
             arr = np.array(self.int64_data, dtype=np.int64)
         else:
             raise ValueError(f"unsupported tensor data_type {dt}")
-        return arr.reshape(shape) if shape else arr
+        # shape == () is a genuine scalar (dims=[] in the proto)
+        return arr.reshape(shape)
 
 
 def _parse_tensor(buf: bytes) -> TensorProto:
@@ -120,6 +149,17 @@ def _parse_tensor(buf: bytes) -> TensorProto:
             t.name = v.decode()
         elif fno == 9:
             t.raw_data = v
+        elif fno == 13 and wt == 2:  # external_data: StringStringEntryProto
+            key = val = None
+            for f2, _, v2 in _iter_fields(v):
+                if f2 == 1:
+                    key = v2.decode()
+                elif f2 == 2:
+                    val = v2.decode()
+            if key is not None:
+                t.external_data[key] = val
+        elif fno == 14:
+            t.data_location = v
     return t
 
 
@@ -227,11 +267,15 @@ class GraphProto:
     initializers: dict = field(default_factory=dict)
     inputs: list = field(default_factory=list)
     outputs: list = field(default_factory=list)
+    value_info: dict = field(default_factory=dict)  # name -> ValueInfo
     name: str = ""
 
 
-def parse_onnx(data: bytes) -> GraphProto:
-    """ModelProto bytes -> GraphProto contents."""
+def parse_onnx(data: bytes, base_dir: str = "") -> GraphProto:
+    """ModelProto bytes -> GraphProto contents.
+
+    base_dir resolves data_location=EXTERNAL initializers (stored in a
+    sibling file, e.g. network.onnx.data)."""
     graph_buf = None
     try:
         for fno, _, v in _iter_fields(data):
@@ -249,11 +293,15 @@ def parse_onnx(data: bytes) -> GraphProto:
             g.name = v.decode()
         elif fno == 5:
             t = _parse_tensor(v)
+            t.base_dir = base_dir
             g.initializers[t.name] = t
         elif fno == 11:
             g.inputs.append(_parse_value_info(v))
         elif fno == 12:
             g.outputs.append(_parse_value_info(v))
+        elif fno == 13:
+            vi = _parse_value_info(v)
+            g.value_info[vi.name] = vi
     return g
 
 

@@ -94,6 +94,35 @@ def _f64_node(op, ins, scale):
     raise NotImplementedError(f"shadow: {op.name}")
 
 
+def f64_forward(model: Model, inputs) -> list[np.ndarray]:
+    """Ideal float64 execution of the quantized graph (same topology, real
+    arithmetic). Index-typed inputs (gather indices) pass through as-is;
+    other int inputs are treated as already-quantized and dequantized.
+    Used to validate graph construction independent of quantization."""
+    scale = model.scale
+    q_outputs = model.execute_graph(inputs)
+    f_outputs = {}
+    for inp_idx, x in zip(model.graph.inputs, inputs):
+        arr = np.asarray(x)
+        f_outputs[inp_idx] = (dequantize(arr, scale)
+                              if arr.dtype != np.float64 else arr)
+    for node in model.graph.sorted_nodes():
+        op = node.operator
+        if isinstance(op, OPS.Input):
+            continue
+        if isinstance(op, OPS.Constant):
+            f_outputs[node.idx] = dequantize(op.array, scale)
+            continue
+        if isinstance(op, (OPS.GatherSmall, OPS.GatherLarge)):
+            ins = [f_outputs[node.inputs[0]],
+                   np.asarray(q_outputs[node.inputs[1]])]
+        else:
+            ins = [f_outputs[i] for i in node.inputs]
+        f_outputs[node.idx] = _f64_node(op, ins, scale)
+    return [np.asarray(f_outputs[o], dtype=np.float64)
+            for o in model.graph.outputs]
+
+
 def shadow_trace(model: Model, inputs) -> list[NodeMetrics]:
     """Quantized vs ideal-f64 execution; returns per-node drift metrics."""
     scale = model.scale

@@ -117,6 +117,21 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
         self.setup_rows([MLPoly(fvec=self.rlc_fvec)], [(Fr.one(), [0])],
                         OPENING_SUMCHECK_DEGREE, eq_r=self.point)
 
+    def resume_from_device(self, rows, local_round: int, se) -> None:
+        """Install mid-sumcheck state fetched from the TPU head rounds
+        (tpu/reduction.py): partially-bound rows + a SplitEq whose scalar
+        has been replayed through the consumed challenges."""
+        from ..field.frvec import GruenInstance
+        self._rows_deg = OPENING_SUMCHECK_DEGREE
+        self._rows_fused = None
+        self._eq_offset = 0
+        self._gruen = GruenInstance([rows], [(Fr.one(), [0])],
+                                    OPENING_SUMCHECK_DEGREE)
+        self._se = se
+        self._rows_round = local_round
+        self._rows_terms = [(Fr.one(), [0])]
+        self._mlrows = []
+
     def num_rounds(self) -> int:
         return len(self.point)
 
@@ -205,12 +220,17 @@ class ProverOpeningAccumulator:
                      for m in _group_by_point(pending)]
         for inst in instances:
             inst.prepare(poly_map)
-        # stack the large groups onto the accelerator (no-op without one)
-        from ..tpu import rowsengine
-        rowsengine.GroupFleet.try_build(instances)
-        for inst in instances:
-            inst.setup_sumcheck()
-        proof, r_sumcheck = BatchedSumcheck.prove(instances, self, transcript)
+        # device-resident head: runs the heavy rounds (incl. Fiat-Shamir)
+        # on the accelerator as one async chain, byte-identical proof
+        from ..tpu import reduction, rowsengine
+        res = reduction.try_prove(instances, self, transcript)
+        if res is None:
+            # host path (v1 per-round fleet only if explicitly forced)
+            rowsengine.GroupFleet.try_build(instances)
+            for inst in instances:
+                inst.setup_sumcheck()
+            res = BatchedSumcheck.prove(instances, self, transcript)
+        proof, r_sumcheck = res
         group_claims = [inst.final_poly_claim() for inst in instances]
         transcript.append_scalars(group_claims)
         delta_powers = transcript.challenge_scalar_powers(len(group_claims))
