@@ -85,14 +85,43 @@ def sharded_product_round(mesh: Mesh):
 
 
 def dryrun_proving_step(n_devices: int, log_t: int = 6, seed: int = 0):
-    """One sharded proving step on tiny shapes: dp-sharded quantized forward
-    + sp-sharded sumcheck round. Validates multi-chip compilation/execution;
-    returns (message_eval_0_int, forward_outputs).
+    """Full sharded proving step: AtlasProver.prove() with the batch
+    opening reduction running on the n-device mesh (cyclically sharded
+    rows, psum'd round messages — parallel/shardedreduction.py), asserted
+    byte-identical to the host proof and verified; plus the sp-sharded
+    product-round kernel and a dp-sharded quantized forward on tiny shapes.
     """
     import random
     from .. import jaxexec
 
     mesh = make_mesh(n_devices, dp=1)
+
+    # --- real prover over the mesh: N-chip proof == 1-chip proof ---
+    from ..frontend import ModelBuilder
+    from ..frontend.quantize import quantize_tensor
+    from ..preprocessing import AtlasPreprocessing
+    from ..prover import AtlasProver
+    from ..verifier import AtlasVerifier
+    from .. import serde
+    from .shardedreduction import mesh_scope
+
+    nrng = np.random.default_rng(seed + 7)
+    b = ModelBuilder(scale=8)
+    x = b.input((1, 32))
+    w1 = b.constant(quantize_tensor(nrng.standard_normal((32, 32)), 8))
+    w2 = b.constant(quantize_tensor(nrng.standard_normal((32, 16)), 8))
+    b.output(b.einsum("bi,ij->bj", [b.relu(b.einsum("bi,ij->bj", [x, w1])),
+                                    w2]))
+    model = b.build()
+    xq = quantize_tensor(nrng.standard_normal((1, 32)), 8)
+    pp = AtlasPreprocessing.preprocess(model)
+    proof_host, _ = AtlasProver(pp).prove([xq])
+    with mesh_scope(mesh):
+        proof_mesh, io = AtlasProver(pp).prove([xq])
+    assert serde.serialize_proof(proof_mesh) == \
+        serde.serialize_proof(proof_host), \
+        "mesh proof bytes diverge from single-device proof"
+    assert AtlasVerifier(pp).verify(proof_mesh, io), "mesh proof invalid"
 
     # --- sp-sharded sumcheck round over a 2^log_t cycle domain ---
     rng = random.Random(seed)

@@ -365,6 +365,51 @@ class BatchedSumcheck:
         return SumcheckInstanceProof(compressed), r_sumcheck
 
     @staticmethod
+    def prove_tail(instances, claims, coeffs, individual_claims, compressed,
+                   r_sumcheck, accumulator, transcript, start_round: int,
+                   max_rounds: int):
+        """Finish a batched sumcheck whose first `start_round` rounds ran on
+        an accelerator engine (tpu/reduction.py, parallel/shardedreduction.py).
+
+        `claims` are the raw input claims (pre pow2-scaling), `compressed` /
+        `r_sumcheck` already hold the head-round messages/challenges, and
+        `individual_claims` are each instance's running claim entering round
+        `start_round`. Instances still mid-flight must have been resumed
+        (resume_from_device) or freshly set up; proof bytes are identical to
+        a full BatchedSumcheck.prove run."""
+        for rnd in range(start_round, max_rounds):
+            remaining = max_rounds - rnd
+            polys = []
+            for k, (inst, prev) in enumerate(zip(instances, individual_claims)):
+                nr = inst.num_rounds()
+                if remaining > nr:
+                    polys.append(UniPoly([_mul_pow2(claims[k],
+                                                    remaining - nr - 1)]))
+                else:
+                    offset = max_rounds - nr
+                    polys.append(inst.compute_message(rnd - offset, prev))
+            batched = UniPoly([])
+            for poly, coeff in zip(polys, coeffs):
+                batched = batched + poly.scale(coeff)
+            cp = batched.compress()
+            cp.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar_optimized()
+            r_sumcheck.append(r_j)
+            individual_claims = [p.evaluate(r_j) for p in polys]
+            for inst in instances:
+                if remaining <= inst.num_rounds():
+                    offset = max_rounds - inst.num_rounds()
+                    inst.ingest_challenge(r_j, rnd - offset)
+            compressed.append(cp)
+
+        for inst in instances:
+            inst.finalize()
+        for inst in instances:
+            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            inst.cache_openings(accumulator, transcript, r_slice)
+        return SumcheckInstanceProof(compressed), r_sumcheck
+
+    @staticmethod
     def verify(proof: SumcheckInstanceProof,
                instances: list[SumcheckInstanceVerifier], accumulator, transcript):
         max_degree = max(i.degree() for i in instances)

@@ -14,12 +14,28 @@ import os
 
 
 def enable_compile_cache() -> None:
-    cache = os.environ.get("JOLT_ATLAS_JAX_CACHE") or os.path.join(
+    # Cache entries are NOT portable across host CPUs (XLA:CPU AOT bakes
+    # the compile machine's feature set and warns/SIGILLs on mismatch), so
+    # key the directory by platform + CPU model. The TPU relay entries are
+    # the expensive ones (10-100 s compiles) and the chip generation is
+    # stable per deployment.
+    base = os.environ.get("JOLT_ATLAS_JAX_CACHE") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
         ".jax_cache")
+    tag = "dev"
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    tag = hashlib.sha256(line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
     try:
         import jax
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(base, tag))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

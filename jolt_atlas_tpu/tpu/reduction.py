@@ -547,7 +547,7 @@ def try_prove(instances, accumulator, transcript):
     buf_np = flat[o:o + 16 * nfin_pad].reshape(16, nfin_pad)
 
     # ---- host transcript replay (derives the same challenges bit-exactly)
-    from ..poly.unipoly import CompressedUniPoly, UniPoly
+    from ..poly.unipoly import CompressedUniPoly
     r_sumcheck: list[Fr] = []
     compressed: list[CompressedUniPoly] = []
     for r in range(r_dev):
@@ -587,38 +587,10 @@ def try_prove(instances, accumulator, transcript):
                 if max_rounds - r_dev - nr >= 0 else claims[k])
 
     # ---- tail rounds (host, same loop as BatchedSumcheck.prove)
-    for rnd in range(r_dev, max_rounds):
-        remaining = max_rounds - rnd
-        polys = []
-        for k, (inst, prev) in enumerate(zip(instances, individual_claims)):
-            nr = inst.num_rounds()
-            if remaining > nr:
-                polys.append(UniPoly([_mul_pow2(claims[k],
-                                                remaining - nr - 1)]))
-            else:
-                offset = max_rounds - nr
-                polys.append(inst.compute_message(rnd - offset, prev))
-        batched = UniPoly([])
-        for poly, coeff in zip(polys, coeffs):
-            batched = batched + poly.scale(coeff)
-        cp = batched.compress()
-        cp.append_to_transcript(transcript)
-        r_j = transcript.challenge_scalar_optimized()
-        r_sumcheck.append(r_j)
-        individual_claims = [p.evaluate(r_j) for p in polys]
-        for inst in instances:
-            if remaining <= inst.num_rounds():
-                offset = max_rounds - inst.num_rounds()
-                inst.ingest_challenge(r_j, rnd - offset)
-        compressed.append(cp)
-
-    for inst in instances:
-        inst.finalize()
-    for inst in instances:
-        r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
-        inst.cache_openings(accumulator, transcript, r_slice)
-    from ..subprotocols.sumcheck import SumcheckInstanceProof
-    return SumcheckInstanceProof(compressed), r_sumcheck
+    from ..subprotocols.sumcheck import BatchedSumcheck
+    return BatchedSumcheck.prove_tail(
+        instances, claims, coeffs, individual_claims, compressed,
+        r_sumcheck, accumulator, transcript, r_dev, max_rounds)
 
 
 def _mul_pow2(x: Fr, k: int) -> Fr:
