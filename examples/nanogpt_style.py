@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--scale", type=int, default=8, help="fixed-point log2 scale")
     ap.add_argument("--gen", type=int, default=4, help="greedy tokens to generate")
     ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--zk", action="store_true",
+                    help="zero-knowledge mode: Pedersen-committed round "
+                         "polynomials (prove_zk/verify_zk)")
     args = ap.parse_args()
 
     from jolt_atlas_tpu.preprocessing import AtlasPreprocessing
@@ -107,12 +110,16 @@ def main():
     pp = AtlasPreprocessing.preprocess(model)
     print(f"  setup: {time.time()-t0:.1f}s")
     t0 = time.time()
-    proof, io = AtlasProver(pp).prove([np.array(toks[:args.seq], dtype=np.int32)])
+    prover = AtlasProver(pp)
+    prove_fn = prover.prove_zk if args.zk else prover.prove
+    proof, io = prove_fn([np.array(toks[:args.seq], dtype=np.int32)])
     t_prove = time.time() - t0
     blob = serialize_proof(proof)
     print(f"  prove: {t_prove:.1f}s, proof {len(blob)/1024:.1f} KB")
     t0 = time.time()
-    ok = AtlasVerifier(pp).verify(deserialize_proof(blob), io)
+    verifier = AtlasVerifier(pp)
+    verify_fn = verifier.verify_zk if args.zk else verifier.verify
+    ok = verify_fn(deserialize_proof(blob), io)
     print(f"  verify: {time.time()-t0:.1f}s -> {ok}")
     if args.trace:
         print(profiling.report())

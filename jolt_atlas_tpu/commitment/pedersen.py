@@ -43,11 +43,23 @@ class PedersenGenerators:
                 s = _hash_to_scalar(seed + b"-msg-" + i.to_bytes(8, "little"))
                 gens.append(g1_generator() * s)
         h = g1_generator() * _hash_to_scalar(seed)
-        return cls(gens, h)
+        out = cls(gens, h)
+        out._seed = seed
+        return out
+
+    def ensure(self, count: int) -> None:
+        """Deterministically extend the generator vector (hash chain), so
+        prover and verifier stay in agreement for any message width."""
+        seed = getattr(self, "_seed", b"jolt-atlas-tpu-pedersen-h")
+        while len(self.message_generators) < count:
+            i = len(self.message_generators)
+            s = _hash_to_scalar(seed + b"-msg-" + i.to_bytes(8, "little"))
+            self.message_generators.append(g1_generator() * s)
 
     def commit(self, coeffs: list[Fr], blinding: Fr) -> G1:
         n = len(coeffs)
-        assert n <= len(self.message_generators), "too many coefficients"
+        if n > len(self.message_generators):
+            self.ensure(n)
         bases = self.message_generators[:n] + [self.blinding_generator]
         scalars = [c.v for c in coeffs] + [blinding.v]
         return msm(bases, scalars)

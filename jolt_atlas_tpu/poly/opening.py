@@ -220,20 +220,27 @@ class ProverOpeningAccumulator:
                      for m in _group_by_point(pending)]
         for inst in instances:
             inst.prepare(poly_map)
-        # mesh-sharded path: cyclic-sharded rows, psum'd round messages
-        # (parallel/shardedreduction.py), byte-identical proof
-        from ..parallel import shardedreduction
+        # zk mode forces the host path: the accelerator engines produce
+        # cleartext round messages; BatchedSumcheck.prove dispatches to the
+        # Pedersen-committed zk variant itself
+        from ..subprotocols.sumcheck import zk_mode
         res = None
-        if shardedreduction.active_mesh() is not None:
-            res = shardedreduction.try_prove(instances, self, transcript)
-        # device-resident head: runs the heavy rounds (incl. Fiat-Shamir)
-        # on the accelerator as one async chain, byte-identical proof
-        from ..tpu import reduction, rowsengine
+        if zk_mode.gens() is None:
+            # mesh-sharded path: cyclic-sharded rows, psum'd round messages
+            # (parallel/shardedreduction.py), byte-identical proof
+            from ..parallel import shardedreduction
+            if shardedreduction.active_mesh() is not None:
+                res = shardedreduction.try_prove(instances, self, transcript)
+            # device-resident head: runs the heavy rounds (incl. Fiat-Shamir)
+            # on the accelerator as one async chain, byte-identical proof
+            from ..tpu import reduction
+            if res is None:
+                res = reduction.try_prove(instances, self, transcript)
         if res is None:
-            res = reduction.try_prove(instances, self, transcript)
-        if res is None:
-            # host path (v1 per-round fleet only if explicitly forced)
-            rowsengine.GroupFleet.try_build(instances)
+            if zk_mode.gens() is None:
+                # host path (v1 per-round fleet only if explicitly forced)
+                from ..tpu import rowsengine
+                rowsengine.GroupFleet.try_build(instances)
             for inst in instances:
                 inst.setup_sumcheck()
             res = BatchedSumcheck.prove(instances, self, transcript)

@@ -29,14 +29,23 @@ class ONNXProof:
                                  # (softmax per-slice advice, reference #218)
 
     def size_estimate(self) -> int:
-        """Rough serialized size in bytes."""
+        """Rough serialized size in bytes (exact for zk entries)."""
         n = 64 * len(self.commitments)
         for p in self.proofs.values():
-            n += sum(32 * (cp.degree()) + 8 for cp in p.compressed_polys)
+            if hasattr(p, "compressed_polys"):
+                n += sum(32 * (cp.degree()) + 8 for cp in p.compressed_polys)
+            else:
+                n += len(p.serialize())
         n += 32 * len(self.opening_claims) + 32 * len(self.reduced_claims)
-        n += sum(32 * (len(e.h.coeffs)) for e in self.eval_reduction_proofs.values())
-        n += sum(32 * cp.degree() + 8
-                 for cp in self.batch_opening_proof.compressed_polys)
-        n += 64 * (len(self.joint_opening_proof.com) + 3)
-        n += 32 * sum(len(row) for row in self.joint_opening_proof.v)
+        for e in self.eval_reduction_proofs.values():
+            n += (32 * len(e.h.coeffs) if hasattr(e, "h")
+                  else len(e.serialize()))
+        if self.batch_opening_proof is not None:
+            if hasattr(self.batch_opening_proof, "compressed_polys"):
+                n += sum(32 * cp.degree() + 8
+                         for cp in self.batch_opening_proof.compressed_polys)
+            else:
+                n += len(self.batch_opening_proof.serialize())
+            n += 64 * (len(self.joint_opening_proof.com) + 3)
+            n += 32 * sum(len(row) for row in self.joint_opening_proof.v)
         return n

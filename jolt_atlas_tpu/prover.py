@@ -19,6 +19,7 @@ from .poly.opening import ProverOpeningAccumulator
 from .preprocessing import AtlasPreprocessing
 from .proof import ONNXProof
 from .subprotocols.eval_reduction import prove_eval_reduction
+from .subprotocols.sumcheck import zk_mode
 from .transcripts import Blake2bTranscript
 from .commitment.hyperkzg import HyperKZG
 from .commitment.kzg import kzg_commit
@@ -71,6 +72,21 @@ class AtlasProver:
         # reference) or transcripts.KeccakTranscript — must match verifier
         self.pp = preprocessing
         self.transcript_factory = transcript_factory
+
+    def prove_zk(self, inputs: list[np.ndarray]):
+        """Zero-knowledge prove: identical pipeline, but every sumcheck's
+        round polynomials and every eval-reduction h polynomial are
+        Pedersen-committed and proven by sigma protocols instead of sent
+        in the clear (subprotocols/zk_sumcheck.py). Mirrors the role of
+        the reference's prove_zk (jolt-atlas-core zk.rs:2081) with the
+        documented sigma-protocol deviation (BASELINE.md #3).
+
+        What stays public, exactly as in the reference's zk pipeline:
+        witness PCS commitments, cached opening claims / reduced group
+        claims (aggregate scalars, zk.rs:96-105), and the softmax aux
+        advice vectors (reference TODO #218)."""
+        with zk_mode(self.pp.pedersen_gens()):
+            return self.prove(inputs)
 
     def prove(self, inputs: list[np.ndarray]):
         """Returns (proof, io) where io = (padded inputs, padded outputs)."""
@@ -139,9 +155,17 @@ class AtlasProver:
             else:
                 flat = padded_flat(trace.node_outputs[node.idx])
                 poly = MLPoly(ints=flat.astype(np.int64))
-                proof, new_pt, new_claim = prove_eval_reduction(
-                    poly, [c[1] for c in claims], [c[2] for c in claims],
-                    transcript)
+                gens = zk_mode.gens()
+                if gens is not None:
+                    from .subprotocols.eval_reduction import \
+                        prove_eval_reduction_zk
+                    proof, new_pt, new_claim = prove_eval_reduction_zk(
+                        poly, [c[1] for c in claims],
+                        [c[2] for c in claims], transcript, gens)
+                else:
+                    proof, new_pt, new_claim = prove_eval_reduction(
+                        poly, [c[1] for c in claims], [c[2] for c in claims],
+                        transcript)
                 ctx.eval_reduction_proofs[node.idx] = proof
                 ctx.reduced[node.idx] = (new_pt, new_claim)
             ZOPS.prove_node(node, ctx)

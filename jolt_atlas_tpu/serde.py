@@ -133,18 +133,27 @@ def serialize_proof(proof: ONNXProof) -> bytes:
     for pid in sorted(proof.commitments):
         _write_tagged(w, pid)
         w.point(proof.commitments[pid])
+    from .subprotocols.eval_reduction import ZkEvalReductionProof
+    from .subprotocols.zk_sumcheck import ZkSumcheckProof
     w.u64(len(proof.proofs))
     for key in sorted(proof.proofs, key=lambda k: (k[0], k[1])):
         w.u64(key[0])
         w.string(key[1])
-        w.raw(proof.proofs[key].serialize())
+        p = proof.proofs[key]
+        w.u8(1 if isinstance(p, ZkSumcheckProof) else 0)
+        w.raw(p.serialize())
     w.u64(len(proof.eval_reduction_proofs))
     for idx in sorted(proof.eval_reduction_proofs):
         w.u64(idx)
-        h = proof.eval_reduction_proofs[idx].h
-        w.u64(len(h.coeffs))
-        for cf in h.coeffs:
-            w.fr(cf)
+        erp = proof.eval_reduction_proofs[idx]
+        if isinstance(erp, ZkEvalReductionProof):
+            w.u8(1)
+            w.raw(erp.serialize())
+        else:
+            w.u8(0)
+            w.u64(len(erp.h.coeffs))
+            for cf in erp.h.coeffs:
+                w.fr(cf)
     w.u64(len(proof.opening_claims))
     for oid in sorted(proof.opening_claims):
         _write_opening_id(w, oid)
@@ -153,7 +162,8 @@ def serialize_proof(proof: ONNXProof) -> bytes:
     for c in proof.reduced_claims:
         w.fr(c)
     if proof.batch_opening_proof is not None:
-        w.u8(1)
+        w.u8(2 if isinstance(proof.batch_opening_proof, ZkSumcheckProof)
+             else 1)
         w.raw(proof.batch_opening_proof.serialize())
         w.raw(proof.joint_opening_proof.serialize())
     else:
@@ -174,24 +184,37 @@ def deserialize_proof(data: bytes) -> ONNXProof:
     for _ in range(r.u64()):
         pid = _read_committed(r)
         commitments[pid] = r.point()
+    from .subprotocols.eval_reduction import ZkEvalReductionProof
+    from .subprotocols.zk_sumcheck import ZkSumcheckProof
     proofs = {}
     for _ in range(r.u64()):
         node = r.u64()
         kind = r.string()
-        sp, r.o = SumcheckInstanceProof.deserialize(r.d, r.o)
+        if r.u8():
+            sp, r.o = ZkSumcheckProof.deserialize(r.d, r.o)
+        else:
+            sp, r.o = SumcheckInstanceProof.deserialize(r.d, r.o)
         proofs[(node, kind)] = sp
     eval_reductions = {}
     for _ in range(r.u64()):
         idx = r.u64()
-        n = r.u64()
-        coeffs = [r.fr() for _ in range(n)]
-        eval_reductions[idx] = EvalReductionProof(UniPoly(coeffs))
+        if r.u8():
+            erp, r.o = ZkEvalReductionProof.deserialize(r.d, r.o)
+            eval_reductions[idx] = erp
+        else:
+            n = r.u64()
+            coeffs = [r.fr() for _ in range(n)]
+            eval_reductions[idx] = EvalReductionProof(UniPoly(coeffs))
     opening_claims = {}
     for _ in range(r.u64()):
         oid = _read_opening_id(r)
         opening_claims[oid] = r.fr()
     reduced_claims = [r.fr() for _ in range(r.u64())]
-    if r.u8():
+    tag = r.u8()
+    if tag == 2:
+        bo, r.o = ZkSumcheckProof.deserialize(r.d, r.o)
+        hk, r.o = HyperKZGProof.deserialize(r.d, r.o)
+    elif tag == 1:
         bo, r.o = SumcheckInstanceProof.deserialize(r.d, r.o)
         hk, r.o = HyperKZGProof.deserialize(r.d, r.o)
     else:

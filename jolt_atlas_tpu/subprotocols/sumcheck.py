@@ -276,9 +276,41 @@ def _mul_pow2(x: Fr, k: int) -> Fr:
     return x * Fr(1 << k) if k else x
 
 
+class zk_mode:
+    """Context manager activating the zero-knowledge pipeline: while
+    active, every Sumcheck/BatchedSumcheck prove and verify (and the
+    eval reductions, via the prover/verifier) routes to the Pedersen-
+    committed zk variants (zk_sumcheck.py). Mirrors the role of the
+    reference's prove_zk/verify_zk plumbing (zk.rs:2081,2947)."""
+
+    _gens = None
+
+    def __init__(self, gens):
+        self.gens = gens
+
+    def __enter__(self):
+        self._prev = zk_mode._gens
+        zk_mode._gens = self.gens
+        return self.gens
+
+    def __exit__(self, *exc):
+        zk_mode._gens = self._prev
+        return False
+
+    @staticmethod
+    def gens():
+        return zk_mode._gens
+
+
 class Sumcheck:
     @staticmethod
     def prove(instance: SumcheckInstanceProver, accumulator, transcript):
+        gens = zk_mode.gens()
+        if gens is not None:
+            from .zk_sumcheck import ZkSumcheck
+            proof, r, _final = ZkSumcheck.prove(instance, gens, accumulator,
+                                                transcript)
+            return proof, r
         num_rounds = instance.num_rounds()
         input_claim = instance.input_claim(accumulator)
         transcript.append_scalar(input_claim)
@@ -301,6 +333,16 @@ class Sumcheck:
     @staticmethod
     def verify(proof: SumcheckInstanceProof, instance: SumcheckInstanceVerifier,
                accumulator, transcript):
+        gens = zk_mode.gens()
+        if gens is not None:
+            from .zk_sumcheck import ZkSumcheck, ZkSumcheckProof
+            if not isinstance(proof, ZkSumcheckProof):
+                raise SumcheckError("zk verify: expected a zk proof")
+            r, _final = ZkSumcheck.verify(proof, instance, gens, accumulator,
+                                          transcript)
+            return r
+        if not isinstance(proof, SumcheckInstanceProof):
+            raise SumcheckError("plain verify: unexpected proof type")
         input_claim = instance.input_claim(accumulator)
         transcript.append_scalar(input_claim)
         final_claim, r = proof.verify(
@@ -316,6 +358,11 @@ class Sumcheck:
 class BatchedSumcheck:
     @staticmethod
     def prove(instances: list[SumcheckInstanceProver], accumulator, transcript):
+        gens = zk_mode.gens()
+        if gens is not None:
+            from .zk_sumcheck import ZkBatchedSumcheck
+            return ZkBatchedSumcheck.prove(instances, gens, accumulator,
+                                           transcript)
         max_rounds = max(i.num_rounds() for i in instances)
         for inst in instances:
             transcript.append_scalar(inst.input_claim(accumulator))
@@ -412,6 +459,13 @@ class BatchedSumcheck:
     @staticmethod
     def verify(proof: SumcheckInstanceProof,
                instances: list[SumcheckInstanceVerifier], accumulator, transcript):
+        gens = zk_mode.gens()
+        if gens is not None:
+            from .zk_sumcheck import ZkBatchedSumcheck, ZkSumcheckProof
+            if not isinstance(proof, ZkSumcheckProof):
+                raise SumcheckError("zk verify: expected a zk proof")
+            return ZkBatchedSumcheck.verify(proof, instances, gens,
+                                            accumulator, transcript)
         max_degree = max(i.degree() for i in instances)
         max_rounds = max(i.num_rounds() for i in instances)
         for inst in instances:
@@ -424,6 +478,8 @@ class BatchedSumcheck:
                 inst.input_claim(accumulator), max_rounds - inst.num_rounds()
             ) * coeff
 
+        if not isinstance(proof, SumcheckInstanceProof):
+            raise SumcheckError("plain verify: unexpected proof type")
         output_claim, r_sumcheck = proof.verify(claim, max_rounds, max_degree,
                                                 transcript)
 

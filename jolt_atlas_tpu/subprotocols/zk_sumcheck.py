@@ -55,6 +55,40 @@ class ZkSumcheckProof:
         self.responses = responses                   # z_j vectors
         self.blind_responses = blind_responses       # z_bj scalars
 
+    def serialize(self) -> bytes:
+        from ..serde import _W
+        w = _W()
+        for group in (self.round_commitments, self.e_commitments,
+                      self.masked_commitments):
+            w.u64(len(group))
+            for p in group:
+                w.point(p)
+        w.fr(self.v)
+        w.u64(len(self.responses))
+        for z in self.responses:
+            w.u64(len(z))
+            for x in z:
+                w.fr(x)
+        w.u64(len(self.blind_responses))
+        for x in self.blind_responses:
+            w.fr(x)
+        return w.out()
+
+    @classmethod
+    def deserialize(cls, data: bytes, offset: int = 0):
+        from ..serde import _R
+        r = _R(data)
+        r.o = offset
+        groups = []
+        for _ in range(3):
+            groups.append([r.point() for _ in range(r.u64())])
+        v = r.fr()
+        responses = []
+        for _ in range(r.u64()):
+            responses.append([r.fr() for _ in range(r.u64())])
+        blind = [r.fr() for _ in range(r.u64())]
+        return cls(groups[0], groups[1], groups[2], v, responses, blind), r.o
+
 
 class ZkSumcheck:
     """prove/verify a single instance with hidden round polynomials."""
@@ -190,6 +224,203 @@ class ZkSumcheck:
         if acc != proof.v + chi * target:
             raise SumcheckError("zk sumcheck linear relation failed")
         return r_sumcheck, final_claim
+
+
+def sigma_prove(gens: PedersenGenerators, transcript, w_vecs, w_blinds,
+                alphas):
+    """Schnorr-style proof of knowledge of openings (w_j, b_j) of already
+    transcript-absorbed Pedersen commitments C_j satisfying the public
+    linear relation <alphas, flat(w)> = target. Returns the proof pieces;
+    the target itself is public and implied by the relation setup."""
+    u_vecs = [[_rand_fr() for _ in vec] for vec in w_vecs]
+    s_blinds = [_rand_fr() for _ in w_vecs]
+    masked = [gens.commit(u, s) for u, s in zip(u_vecs, s_blinds)]
+    v = Fr.zero()
+    flat_u = [x for u in u_vecs for x in u]
+    for a, x in zip(alphas, flat_u):
+        v = v + a * x
+    for m in masked:
+        transcript.append_point(m)
+    transcript.append_scalar(v)
+    chi = transcript.challenge_scalar()
+    responses = [[u + chi * w for u, w in zip(uv, wv)]
+                 for uv, wv in zip(u_vecs, w_vecs)]
+    blind_responses = [s + chi * b for s, b in zip(s_blinds, w_blinds)]
+    return masked, v, responses, blind_responses
+
+
+def sigma_verify(gens: PedersenGenerators, transcript, commitments, widths,
+                 alphas, target, masked, v, responses, blind_responses):
+    """Verifier side of sigma_prove; raises SumcheckError on failure."""
+    if len(responses) != len(commitments) or \
+            len(blind_responses) != len(commitments) or \
+            len(masked) != len(commitments):
+        raise SumcheckError("sigma proof shape mismatch")
+    for z, width in zip(responses, widths):
+        if len(z) != width:
+            raise SumcheckError("sigma response width mismatch")
+    for m in masked:
+        transcript.append_point(m)
+    transcript.append_scalar(v)
+    chi = transcript.challenge_scalar()
+    for z, zb, u_com, c_com in zip(responses, blind_responses, masked,
+                                   commitments):
+        lhs = gens.commit(z, zb)
+        rhs = u_com + c_com * chi.v
+        if not (lhs.infinity == rhs.infinity and lhs.x == rhs.x
+                and lhs.y == rhs.y):
+            raise SumcheckError("sigma commitment check failed")
+    acc = Fr.zero()
+    flat_z = [x for z in responses for x in z]
+    for a, x in zip(alphas, flat_z):
+        acc = acc + a * x
+    if acc != v + chi * target:
+        raise SumcheckError("sigma linear relation failed")
+
+
+class ZkBatchedSumcheck:
+    """Front-loaded batched sumcheck with hidden round polynomials.
+
+    Mirrors BatchedSumcheck.prove/verify (subprotocols/sumcheck.py) —
+    same pow2 claim scaling and join schedule — but every batched round
+    polynomial is Pedersen-committed instead of sent in the clear, and
+    the round-check chain is proven by the sigma protocol above (the
+    relations are those of _aggregate_relations applied to the batched
+    polynomial). The per-instance input claims and cached opening claims
+    stay public, exactly like the reference's zk pipeline leaves its
+    final aggregate scalars public (zk.rs:96-105); what is hidden is the
+    round-message algebra, which is where witness data concentrates.
+    """
+
+    @staticmethod
+    def prove(instances, gens: PedersenGenerators, accumulator, transcript):
+        from .sumcheck import _mul_pow2
+        max_rounds = max(i.num_rounds() for i in instances)
+        max_degree = max(i.degree() for i in instances)
+        width = max_degree + 1
+        for inst in instances:
+            transcript.append_scalar(inst.input_claim(accumulator))
+        coeffs = transcript.challenge_vector(len(instances))
+        individual = [
+            _mul_pow2(inst.input_claim(accumulator),
+                      max_rounds - inst.num_rounds())
+            for inst in instances
+        ]
+        input_claim = Fr.zero()
+        for c, x in zip(coeffs, individual):
+            input_claim = input_claim + c * x
+
+        from ..poly.unipoly import UniPoly
+        r_sumcheck: list[Fr] = []
+        coeff_vecs: list[list[Fr]] = []
+        blinds: list[Fr] = []
+        e_vals: list[Fr] = []
+        e_blinds: list[Fr] = []
+        round_cs: list[G1] = []
+        e_cs: list[G1] = []
+        for rnd in range(max_rounds):
+            remaining = max_rounds - rnd
+            polys = []
+            for inst, prev in zip(instances, individual):
+                nr = inst.num_rounds()
+                if remaining > nr:
+                    polys.append(UniPoly([_mul_pow2(
+                        inst.input_claim(accumulator), remaining - nr - 1)]))
+                else:
+                    polys.append(inst.compute_message(
+                        rnd - (max_rounds - nr), prev))
+            batched = UniPoly([])
+            for poly, coeff in zip(polys, coeffs):
+                batched = batched + poly.scale(coeff)
+            cvec = list(batched.coeffs) + [Fr.zero()] * (
+                width - len(batched.coeffs))
+            b = _rand_fr()
+            c_com = gens.commit(cvec, b)
+            transcript.append_point(c_com)
+            r_j = transcript.challenge_scalar_optimized()
+            r_sumcheck.append(r_j)
+            individual = [p.evaluate(r_j) for p in polys]
+            for inst in instances:
+                if remaining <= inst.num_rounds():
+                    inst.ingest_challenge(
+                        r_j, rnd - (max_rounds - inst.num_rounds()))
+            coeff_vecs.append(cvec)
+            blinds.append(b)
+            round_cs.append(c_com)
+            if rnd < max_rounds - 1:
+                e_val = Fr.zero()
+                for c, x in zip(coeffs, individual):
+                    e_val = e_val + c * x
+                eb = _rand_fr()
+                e_com = gens.commit([e_val], eb)
+                transcript.append_point(e_com)
+                e_vals.append(e_val)
+                e_blinds.append(eb)
+                e_cs.append(e_com)
+
+        for inst in instances:
+            inst.finalize()
+        for inst in instances:
+            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            inst.cache_openings(accumulator, transcript, r_slice)
+        final_claim = Fr.zero()
+        for c, x in zip(coeffs, individual):
+            final_claim = final_claim + c * x
+        transcript.append_scalar(final_claim)
+
+        rho = transcript.challenge_scalar()
+        alphas, _target = _aggregate_relations(
+            max_rounds, max_degree, r_sumcheck, input_claim, final_claim, rho)
+        masked, v, responses, blind_responses = sigma_prove(
+            gens, transcript, coeff_vecs + [[e] for e in e_vals],
+            blinds + e_blinds, alphas)
+        proof = ZkSumcheckProof(round_cs, e_cs, masked, v, responses,
+                                blind_responses)
+        return proof, r_sumcheck
+
+    @staticmethod
+    def verify(proof: ZkSumcheckProof, instances, gens: PedersenGenerators,
+               accumulator, transcript):
+        from .sumcheck import _mul_pow2
+        max_rounds = max(i.num_rounds() for i in instances)
+        max_degree = max(i.degree() for i in instances)
+        width = max_degree + 1
+        for inst in instances:
+            transcript.append_scalar(inst.input_claim(accumulator))
+        coeffs = transcript.challenge_vector(len(instances))
+        input_claim = Fr.zero()
+        for c, inst in zip(coeffs, instances):
+            input_claim = input_claim + c * _mul_pow2(
+                inst.input_claim(accumulator),
+                max_rounds - inst.num_rounds())
+
+        if (len(proof.round_commitments) != max_rounds
+                or len(proof.e_commitments) != max(0, max_rounds - 1)):
+            raise SumcheckError("zk batched sumcheck shape mismatch")
+        r_sumcheck: list[Fr] = []
+        for rnd in range(max_rounds):
+            transcript.append_point(proof.round_commitments[rnd])
+            r_sumcheck.append(transcript.challenge_scalar_optimized())
+            if rnd < max_rounds - 1:
+                transcript.append_point(proof.e_commitments[rnd])
+
+        expected = Fr.zero()
+        for inst, coeff in zip(instances, coeffs):
+            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            inst.cache_openings(accumulator, transcript, r_slice)
+            expected = expected + coeff * inst.expected_output_claim(
+                accumulator, r_slice)
+        transcript.append_scalar(expected)
+
+        rho = transcript.challenge_scalar()
+        alphas, target = _aggregate_relations(
+            max_rounds, max_degree, r_sumcheck, input_claim, expected, rho)
+        widths = [width] * max_rounds + [1] * len(proof.e_commitments)
+        sigma_verify(gens, transcript,
+                     proof.round_commitments + proof.e_commitments, widths,
+                     alphas, target, proof.masked_commitments, proof.v,
+                     proof.responses, proof.blind_responses)
+        return r_sumcheck
 
 
 def _peek_final_claim(instance, accumulator, transcript, r_sumcheck) -> Fr:

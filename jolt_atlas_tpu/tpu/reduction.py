@@ -48,16 +48,43 @@ _STATE = None
 
 
 def _state():
+    """(jax, PlanesCtx) once the backend is up, else False.
+
+    Backend init runs in a daemon thread with a deadline: the axon relay
+    can wedge (observed: make_c_api_client blocking forever when a killed
+    client's device claim lingers), and a prover must degrade to the host
+    path instead of hanging. A timed-out init keeps probing in the
+    background; later proves in the same process pick the device path up
+    if the relay recovers."""
     global _STATE
-    if _STATE is None:
-        try:
+    if _STATE is None or _STATE is False:
+        import concurrent.futures
+
+        def init():
             import jax
             from .fqplanes import PlanesCtx
             jax.devices()
-            _STATE = (jax, PlanesCtx(FR_MODULUS))
+            return (jax, PlanesCtx(FR_MODULUS))
+
+        global _INIT_FUTURE
+        try:
+            if _INIT_FUTURE is None:
+                ex = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="jax-init")
+                _INIT_FUTURE = ex.submit(init)
+                ex.shutdown(wait=False)
+            timeout = float(os.environ.get(
+                "JOLT_ATLAS_TPU_INIT_TIMEOUT", "90" if _STATE is None else "1"))
+            _STATE = _INIT_FUTURE.result(timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            _STATE = False
         except Exception:
             _STATE = False
+            _INIT_FUTURE = None
     return _STATE
+
+
+_INIT_FUTURE = None
 
 
 def _pow2(x: int) -> int:

@@ -20,7 +20,7 @@ from .preprocessing import AtlasPreprocessing
 from .proof import ONNXProof
 from .prover import append_io_to_transcript, collect_node_claims
 from .subprotocols.eval_reduction import verify_eval_reduction
-from .subprotocols.sumcheck import SumcheckError
+from .subprotocols.sumcheck import SumcheckError, zk_mode
 from .transcripts import Blake2bTranscript
 from .commitment.hyperkzg import HyperKZG
 from .curve.msm import msm
@@ -55,9 +55,15 @@ class AtlasVerifier:
             self._verify_inner(proof, io)
             return True
         except (VerificationError, AssertionError, KeyError, ValueError,
-                SumcheckError, ZeroDivisionError) as e:
+                SumcheckError, ZeroDivisionError, AttributeError,
+                TypeError, IndexError) as e:
             self.last_error = e
             return False
+
+    def verify_zk(self, proof: ONNXProof, io) -> bool:
+        """Verify a proof produced by AtlasProver.prove_zk."""
+        with zk_mode(self.pp.pedersen_gens()):
+            return self.verify(proof, io)
 
     def _verify_inner(self, proof: ONNXProof, io):
         model = self.pp.model
@@ -106,10 +112,22 @@ class AtlasVerifier:
                 ctx.reduced[node.idx] = (claims[0][1], claims[0][2])
             else:
                 nv = ctx.padded_len(node.idx).bit_length() - 1
-                new_pt, new_claim = verify_eval_reduction(
-                    proof.eval_reduction_proofs[node.idx],
-                    [c[1] for c in claims], [c[2] for c in claims], nv,
-                    transcript)
+                gens = zk_mode.gens()
+                if gens is not None:
+                    from .subprotocols.eval_reduction import (
+                        ZkEvalReductionProof, verify_eval_reduction_zk)
+                    erp = proof.eval_reduction_proofs[node.idx]
+                    if not isinstance(erp, ZkEvalReductionProof):
+                        raise VerificationError(
+                            "zk verify: expected zk eval reduction")
+                    new_pt, new_claim = verify_eval_reduction_zk(
+                        erp, [c[1] for c in claims],
+                        [c[2] for c in claims], nv, transcript, gens)
+                else:
+                    new_pt, new_claim = verify_eval_reduction(
+                        proof.eval_reduction_proofs[node.idx],
+                        [c[1] for c in claims], [c[2] for c in claims], nv,
+                        transcript)
                 ctx.reduced[node.idx] = (new_pt, new_claim)
             ZOPS.verify_node(node, ctx)
 
