@@ -36,25 +36,27 @@ class PedersenGenerators:
                  seed: bytes = b"jolt-atlas-tpu-pedersen-h") -> "PedersenGenerators":
         """Message generators from the SRS G1 powers; H derived by hashing
         (discrete log of H w.r.t. the G_i unknown)."""
+        from .dory import hash_to_g1
         gens = list(srs.g1_powers[:count])
         if len(gens) < count:
-            # extend with hash-derived points beyond the SRS length
+            # extend with hash-to-curve points beyond the SRS length
+            # (hash-DERIVED scalars would have public discrete logs and
+            # break binding)
             for i in range(len(gens), count):
-                s = _hash_to_scalar(seed + b"-msg-" + i.to_bytes(8, "little"))
-                gens.append(g1_generator() * s)
-        h = g1_generator() * _hash_to_scalar(seed)
+                gens.append(hash_to_g1(seed + b"-msg", i))
+        h = hash_to_g1(seed + b"-blind", 0)
         out = cls(gens, h)
         out._seed = seed
         return out
 
     def ensure(self, count: int) -> None:
-        """Deterministically extend the generator vector (hash chain), so
-        prover and verifier stay in agreement for any message width."""
+        """Deterministically extend the generator vector (hash-to-curve),
+        so prover and verifier stay in agreement for any message width."""
+        from .dory import hash_to_g1
         seed = getattr(self, "_seed", b"jolt-atlas-tpu-pedersen-h")
         while len(self.message_generators) < count:
             i = len(self.message_generators)
-            s = _hash_to_scalar(seed + b"-msg-" + i.to_bytes(8, "little"))
-            self.message_generators.append(g1_generator() * s)
+            self.message_generators.append(hash_to_g1(seed + b"-msg", i))
 
     def commit(self, coeffs: list[Fr], blinding: Fr) -> G1:
         n = len(coeffs)

@@ -54,6 +54,19 @@ class ProverContext:
         return self.node(idx).padded_output_len()
 
 
+def _fvec_to_ints(fvec) -> list[int]:
+    """Field vector (FrArray or list[Fr]) -> canonical Python ints."""
+    from .field.frvec import FrArray
+    if isinstance(fvec, FrArray):
+        limbs = fvec.canonical()
+        out = []
+        for row in limbs:
+            out.append(int(row[0]) | (int(row[1]) << 64)
+                       | (int(row[2]) << 128) | (int(row[3]) << 192))
+        return out
+    return [int(x.v) for x in fvec]
+
+
 def collect_node_claims(accumulator, node_idx):
     """All (id, point, claim) openings on NodeOutput(node_idx), sorted."""
     target = VirtualPoly.make("NodeOutput", node_idx)
@@ -110,8 +123,13 @@ class AtlasProver:
         commitments = {}
         with span("commit"):
             pids = sorted(poly_map)
-            prep = self.pp.srs.prepared_bases()
-            if prep is not None and pids:
+            if self.pp.pcs == "dory":
+                from .commitment.dory import DoryPC
+                for pid in pids:
+                    commitments[pid] = DoryPC.commit(self.pp.pcs_setup,
+                                                     poly_map[pid].ints)
+                prep = None
+            elif (prep := self.pp.srs.prepared_bases()) is not None and pids:
                 oh_pids = [p for p in pids
                            if poly_map[p].onehot_indices is not None]
                 dn_pids = [p for p in pids
@@ -177,8 +195,14 @@ class AtlasProver:
                 (bo_proof, r_sumcheck, reduced_claims, joint) = \
                     accumulator.prove_batch_opening(poly_map, transcript)
             with span("hyperkzg_open"):
-                hk_proof = HyperKZG.open(self.pp.srs, joint, list(r_sumcheck),
-                                         transcript)
+                if self.pp.pcs == "dory":
+                    from .commitment.dory import DoryPC
+                    ints = _fvec_to_ints(joint)
+                    hk_proof = DoryPC.open(self.pp.pcs_setup, ints,
+                                           list(r_sumcheck), transcript)
+                else:
+                    hk_proof = HyperKZG.open(self.pp.srs, joint,
+                                             list(r_sumcheck), transcript)
         else:  # no committed polynomials (pure claim-plumbing graph)
             bo_proof, reduced_claims, hk_proof = None, [], None
 

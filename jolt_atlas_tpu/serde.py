@@ -128,11 +128,21 @@ def _read_opening_id(r: _R) -> OpeningId:
 
 
 def serialize_proof(proof: ONNXProof) -> bytes:
+    from .commitment.dory import DoryCommitment
     w = _W()
+    dory = any(isinstance(c, DoryCommitment)
+               for c in proof.commitments.values())
+    w.u8(1 if dory else 0)  # PCS tag: 0 = HyperKZG (G1), 1 = Dory (GT)
     w.u64(len(proof.commitments))
     for pid in sorted(proof.commitments):
         _write_tagged(w, pid)
-        w.point(proof.commitments[pid])
+        com = proof.commitments[pid]
+        if dory:
+            blob = com.serialize()
+            w.u64(len(blob))
+            w.raw(blob)
+        else:
+            w.point(com)
     from .subprotocols.eval_reduction import ZkEvalReductionProof
     from .subprotocols.zk_sumcheck import ZkSumcheckProof
     w.u64(len(proof.proofs))
@@ -179,11 +189,16 @@ def serialize_proof(proof: ONNXProof) -> bytes:
 
 
 def deserialize_proof(data: bytes) -> ONNXProof:
+    from .commitment.dory import DoryCommitment
     r = _R(data)
+    dory = bool(r.u8())
     commitments = {}
     for _ in range(r.u64()):
         pid = _read_committed(r)
-        commitments[pid] = r.point()
+        if dory:
+            commitments[pid] = DoryCommitment.deserialize(r.raw(r.u64()))
+        else:
+            commitments[pid] = r.point()
     from .subprotocols.eval_reduction import ZkEvalReductionProof
     from .subprotocols.zk_sumcheck import ZkSumcheckProof
     proofs = {}
@@ -213,12 +228,16 @@ def deserialize_proof(data: bytes) -> ONNXProof:
     tag = r.u8()
     if tag == 2:
         bo, r.o = ZkSumcheckProof.deserialize(r.d, r.o)
-        hk, r.o = HyperKZGProof.deserialize(r.d, r.o)
     elif tag == 1:
         bo, r.o = SumcheckInstanceProof.deserialize(r.d, r.o)
-        hk, r.o = HyperKZGProof.deserialize(r.d, r.o)
     else:
         bo, hk = None, None
+    if tag:
+        if dory:
+            from .commitment.dory import DoryProof
+            hk, r.o = DoryProof.deserialize(r.d, r.o)
+        else:
+            hk, r.o = HyperKZGProof.deserialize(r.d, r.o)
     aux = {}
     for _ in range(r.u64()):
         node = r.u64()

@@ -140,8 +140,17 @@ class AtlasVerifier:
             proof.batch_opening_proof, proof.reduced_claims, transcript)
         bases = [proof.commitments[p.poly_id]
                  for p in accumulator.sorted_pending()]
-        joint_c = msm(bases, [c.v for c in commit_coeffs])
-        ok = HyperKZG.verify(self.pp.srs, joint_c, list(r_sumcheck),
-                             joint_claim, proof.joint_opening_proof, transcript)
+        if self.pp.pcs == "dory":
+            from .commitment.dory import DoryPC, DoryScheme
+            joint_c = DoryScheme().combine_commitments(bases, commit_coeffs)
+            joint_c.num_vars = len(r_sumcheck)
+            ok = DoryPC.verify(self.pp.pcs_setup, joint_c, list(r_sumcheck),
+                               joint_claim, proof.joint_opening_proof,
+                               transcript)
+        else:
+            joint_c = msm(bases, [c.v for c in commit_coeffs])
+            ok = HyperKZG.verify(self.pp.srs, joint_c, list(r_sumcheck),
+                                 joint_claim, proof.joint_opening_proof,
+                                 transcript)
         if not ok:
-            raise VerificationError("joint HyperKZG opening failed")
+            raise VerificationError("joint opening failed")
