@@ -151,7 +151,7 @@ _Q0_BLK = 1 << 12   # entries per block sum (keeps all partial sums in u32)
 
 
 @functools.lru_cache(maxsize=None)
-def _q0_kernel(Npad: int, Kpad: int, Ipad: int, nblk: int):
+def _q0_kernel(Npad: int, Kpad: int, Ipad: int, nblk: int, blk: int):
     """Batched q(0): gather lo values + two-factor eq weights, multiply,
     segment-accumulate into (2, 16, Ipad) u32 lazy limb sums (lo16/hi16
     split so every accumulator provably fits u32 — TPU has no native u64:
@@ -164,7 +164,7 @@ def _q0_kernel(Npad: int, Kpad: int, Ipad: int, nblk: int):
         w = FR.mul(jnp.take(whi_tab, whi_idx, axis=1),
                    jnp.take(wlo_tab, wlo_idx, axis=1))
         p = FR.mul(w, lo)
-        s = jnp.sum(p.reshape(16, nblk, _Q0_BLK), axis=2)   # < 2^28
+        s = jnp.sum(p.reshape(16, nblk, blk), axis=2)   # < 2^28
         acc = jnp.zeros((2, 16, Ipad), dtype=jnp.uint32)
         acc = acc.at[0, :, blkseg].add((s & 0xFFFF).T)
         acc = acc.at[1, :, blkseg].add((s >> 16).T)
@@ -304,16 +304,18 @@ def try_prove(instances, accumulator, transcript):
     falls back). Instances must NOT have setup_sumcheck() called yet;
     this function initializes them (device-resumed or host)."""
     mode = os.environ.get("JOLT_ATLAS_TPU_REDUCTION", "auto")
-    if mode == "off" or not _state():
+    if mode == "off":
         return None
-    jax, FR = _state()
-    if mode == "auto" and jax.default_backend() == "cpu":
-        return None
-    jnp = jax.numpy
     from ..field.frvec import FrArray
     from ..poly.spliteq import SplitEq
 
-    tail_rounds = int(os.environ.get("JOLT_ATLAS_TPU_TAIL_ROUNDS", "11"))
+    # 0 (default): run EVERY round on device, so the one fetch returns only
+    # scalars (round messages + final row values, ~10-100 KB) — never the
+    # bound rows. A tunneled link can be 1000x slower device->host than
+    # host->device (measured 0.1 MB/s down vs 219 MB/s up), so fetch bytes,
+    # not FLOPs, decide this path's viability. >0 hands the last N rounds
+    # to the host C++ kernels (costs a bound-row fetch; test knob).
+    tail_rounds = int(os.environ.get("JOLT_ATLAS_TPU_TAIL_ROUNDS", "0"))
     max_rounds = max(i.num_rounds() for i in instances)
     r_dev = max_rounds - tail_rounds
     if r_dev < 2:
@@ -328,6 +330,26 @@ def try_prove(instances, accumulator, transcript):
     if mode == "auto" and total < int(
             os.environ.get("JOLT_ATLAS_TPU_REDUCTION_MIN", str(1 << 21))):
         return None
+    # only now pay backend init (jax import / relay handshake) — unless a
+    # persisted calibration already ruled this machine's link out
+    if mode == "auto":
+        from . import linkcal
+        if linkcal.cached_nonviable():
+            return None
+    if not _state():
+        return None
+    jax, FR = _state()
+    if mode == "auto" and jax.default_backend() == "cpu":
+        return None
+    jnp = jax.numpy
+    if mode == "auto":
+        # measured-link gate: this plan moves ~90 B/elem over the host<->
+        # device link; engage only when a one-time calibration shows the
+        # link is PCIe/ICI-class (see tpu/linkcal.py for the breakeven
+        # math and the measured 150x loss through a tunneled relay)
+        from . import linkcal
+        if not linkcal.device_path_viable(jax, FR):
+            return None
 
     # ---- protocol prefix (host transcript, identical to BatchedSumcheck)
     claims = [inst.input_claim(accumulator) for inst in instances]
@@ -494,7 +516,7 @@ def try_prove(instances, accumulator, transcript):
             blkseg[pos // blk:-(-(pos + half) // blk)] = lanes[k]
             pos += -(-half // blk) * blk
 
-        qsum = _q0_kernel(n_pad, Kpad, Ipad, nblk)(
+        qsum = _q0_kernel(n_pad, Kpad, Ipad, nblk, blk)(
             buf, _put_flat(whi_tab), _put_flat(wlo_tab),
             jnp.asarray(whi_idx), jnp.asarray(wlo_idx), jnp.asarray(lo_q),
             jnp.asarray(blkseg))

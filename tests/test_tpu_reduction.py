@@ -59,10 +59,15 @@ def test_device_reduction_byte_exact():
         os.environ["JOLT_ATLAS_TPU_REDUCTION"] = "on"
         os.environ["JOLT_ATLAS_TPU_TAIL_ROUNDS"] = "4"
         blob_on, proof, io = _prove_bytes(pp, [xq])
+        # default schedule: EVERY round on device, fetch scalars only
+        os.environ["JOLT_ATLAS_TPU_TAIL_ROUNDS"] = "0"
+        blob_full, proof_f, io_f = _prove_bytes(pp, [xq])
     finally:
         for k, v in old.items():
             os.environ.pop(k, None)
             if v is not None:
                 os.environ[k] = v
     assert blob_on == blob_off, "device head rounds changed the proof bytes"
+    assert blob_full == blob_off, "full-device schedule changed proof bytes"
     assert AtlasVerifier(pp).verify(proof, io)
+    assert AtlasVerifier(pp).verify(proof_f, io_f)
