@@ -35,7 +35,8 @@ class BindingOrder(enum.Enum):
 class MLPoly:
     """A multilinear polynomial given by its 2^n hypercube evaluations."""
 
-    def __init__(self, ints=None, fvec=None, onehot_indices=None):
+    def __init__(self, ints=None, fvec=None, onehot_indices=None,
+                 length=None):
         if ints is not None:
             ints = np.asarray(ints)
             assert ints.ndim == 1
@@ -44,11 +45,20 @@ class MLPoly:
             self.ints = ints
             self.fvec = None
             self._len = n
-        else:
-            assert fvec is not None
+        elif fvec is not None:
             self.ints = None
             self.fvec = vec.as_native(fvec)
             self._len = len(fvec)
+        else:
+            # lazy one-hot: only the 1-positions are stored; the dense
+            # K*T array (the LM-head cliff at vocab scale: 2^24 entries
+            # per chunk) is never materialized unless a consumer
+            # explicitly asks (to_ints/to_field)
+            assert onehot_indices is not None and length is not None
+            assert length & (length - 1) == 0 and length > 0
+            self.ints = None
+            self.fvec = None
+            self._len = length
         # sparse descriptor: flat positions of the 1-entries (one-hot ra
         # polys) — lets the opening RLC scatter gamma instead of axpy-ing
         # the whole dense vector
@@ -71,9 +81,25 @@ class MLPoly:
             return MLPoly(ints=self.ints.copy())
         return MLPoly(fvec=self.fvec.copy())
 
+    def to_ints(self) -> np.ndarray:
+        """Dense integer coefficients (materializes lazy one-hots)."""
+        if self.ints is None and self.fvec is None:
+            arr = np.zeros(self._len, dtype=np.int64)
+            arr[self.onehot_indices] = 1
+            self.ints = arr
+        return self.ints
+
     def to_field(self):
         """Field vector of the coefficients (FrArray on the native path)."""
         if self.fvec is None:
+            if self.ints is None and self.onehot_indices is not None:
+                from ..field import frvec
+                if frvec.available():
+                    d = np.zeros((self._len, 4), dtype=np.uint64)
+                    d[self.onehot_indices] = frvec._r1_limbs()[0]
+                    self.fvec = frvec.FrArray(d)
+                    return self.fvec
+                self.to_ints()
             self.fvec = vec.from_ints(self.ints)
         return self.fvec
 

@@ -127,7 +127,7 @@ class AtlasProver:
                 from .commitment.dory import DoryPC
                 for pid in pids:
                     commitments[pid] = DoryPC.commit(self.pp.pcs_setup,
-                                                     poly_map[pid].ints)
+                                                     poly_map[pid].to_ints())
                 prep = None
             elif (prep := self.pp.srs.prepared_bases()) is not None and pids:
                 oh_pids = [p for p in pids
@@ -144,7 +144,7 @@ class AtlasProver:
             else:
                 for pid in pids:
                     commitments[pid] = kzg_commit(self.pp.srs,
-                                                  poly_map[pid].ints)
+                                                  poly_map[pid].to_ints())
             for pid in pids:
                 transcript.append_point(commitments[pid])
 

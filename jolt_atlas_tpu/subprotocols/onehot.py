@@ -60,6 +60,15 @@ def one_hot_poly(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
     return MLPoly(ints=arr.reshape(-1), onehot_indices=flat_idx)
 
 
+def one_hot_lazy(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
+    """One-hot MLPoly carrying only the 1-positions — the committed witness
+    form (sparse subset-sum commit + scatter opening RLC). The dense K*T
+    array is never built unless a consumer calls to_ints()/to_field()."""
+    T = len(chunks_d)
+    flat_idx = np.asarray(chunks_d, dtype=np.int64) * T + np.arange(T)
+    return MLPoly(onehot_indices=flat_idx, length=K * T)
+
+
 def one_hot_fvec(chunks_d: np.ndarray, K: int = K_CHUNK) -> MLPoly:
     """Field-vector one-hot built by scattering Montgomery(1) rows — avoids
     materializing and converting the K*T int array (the prover-side fast
@@ -230,24 +239,137 @@ class AddressReadCheckVerifier(SumcheckInstanceVerifier):
 # ---------------------------------------------------------------------------
 
 class BooleanityProver(RowsInstance, SumcheckInstanceProver):
-    """0 = sum_{k,j} eq(r_b, (k,j)) * sum_d gamma_d * (ra_d^2 - ra_d)."""
+    """0 = sum_{k,j} eq(r_b, (k,j)) * sum_d gamma_d * (ra_d^2 - ra_d).
 
-    def __init__(self, poly_ids: list[CommittedPoly], ra_polys: list[MLPoly],
-                 r_b: list[Fr], gammas: list[Fr]):
-        # NOTE: takes ownership of ra_polys (binding mutates them) — callers
-        # pass freshly built one-hots (build_ra_checks_provers, gather).
+    Sparse two-phase schedule (byte-identical messages to binding the dense
+    (K, T) one-hot rows — it computes the same polynomial's round evals):
+
+    Phase 1 (log K address rounds): the partially-bound one-hot is
+        ra_d(k_rest, j) = U[c_d(j)] * [k_rest == low_bits(c_d(j))],
+    where U[c] = prod over bound bits of the challenge line — exactly one
+    nonzero per (d, j), so q(t) needs only a (K,) bucket sum of the split-eq
+    pair weights by chunk value (one scatter_add per chunk per round) and
+    16 table values. O(T) per round instead of O(K*T) — the reference's
+    sparse Shout booleanity (joltworks/src/subprotocols/shout.rs) recast
+    onto the Gruen weight schedule.
+
+    Phase 2 (log T cycle rounds): the bound row is the dense T-vector
+    U[c_d(j)] (a K-entry table gather), handed to the standard fused
+    GruenInstance engine.
+
+    The dense K*T rows are never materialized: callers pass the chunk-value
+    index arrays. Falls back to dense rows without the native library.
+    """
+
+    def __init__(self, poly_ids: list[CommittedPoly], index_arrays: list,
+                 K: int, r_b: list[Fr], gammas: list[Fr]):
+        from ..field import vec
         self.poly_ids = poly_ids
         self.r_b = r_b
         self.gammas = gammas
         self._rounds = len(r_b)
-        # eq(r_b) is a Gruen split weight over the whole (address, cycle)
-        # domain; the one-hot rows stay as sparse 0/1 integers through the
-        # i64fr round-0 kernel (zero-skip: ~1/8 pair density per chunk).
+        self.K = K
+        self.logK = K.bit_length() - 1
+        assert K & (K - 1) == 0 and self.logK >= 1
+        self.idx = [np.ascontiguousarray(a, dtype=np.int64)
+                    for a in index_arrays]
+        self.T = 1 << (len(r_b) - self.logK)
         terms = []
         for d, gamma in enumerate(gammas):
             terms.append((gamma, [d, d]))
             terms.append((Fr.zero() - gamma, [d]))
-        self.setup_rows(list(ra_polys), terms, 3, eq_r=r_b)
+        self._terms = terms
+        if not vec.native_available():
+            # object-int fallback: materialize dense rows (tests / no .so)
+            ras = [one_hot_poly(a, K=K) for a in self.idx]
+            self.setup_rows(ras, terms, 3, eq_r=r_b)
+            self._sparse = False
+            return
+        self._sparse = True
+        from ..poly.spliteq import SplitEq
+        from ..field.frvec import FrArray
+        self._se = SplitEq(r_b)
+        self._U = FrArray.full(K, Fr.one())   # bound prefix weight per value
+        self._rows_round = 0
+        self._rows_deg = 3
+        self._rows_fused = None
+        self._gruen = None
+        self._eq_offset = 0
+        self._rows_terms = terms
+        self._mlrows = []
+
+    # -- phase 1: sparse address rounds -------------------------------------
+    def _phase1_qev(self) -> list[Fr]:
+        from ..field import frvec
+        from ..field.frvec import FrArray
+        rnd = self._rows_round
+        whi, shift, wlo, log_wlo = self._se.tables(rnd)
+        low_bits = self.logK - rnd - 1
+        logT = self.T.bit_length() - 1
+        whi_d = np.asarray(whi) if whi is not None else None
+        wlo_d = np.asarray(wlo) if wlo is not None else None
+        mask = (1 << log_wlo) - 1 if log_wlo >= 0 else 0
+        j = np.arange(self.T, dtype=np.int64)
+        bit = 1 << low_bits
+        q0 = Fr.zero()
+        q2 = Fr.zero()
+        U = self._U
+        # per-value helpers: x(t) = U[c] * (b ? t : 1-t), b = bit of c
+        U2 = U.mul(U)
+        for d, gamma in enumerate(self.gammas):
+            c = self.idx[d]
+            p = ((c & (bit - 1)) << logT) + j      # nonzero pair position
+            if whi_d is not None and wlo_d is not None:
+                w = FrArray(whi_d[p >> shift]).mul(FrArray(wlo_d[p & mask]))
+            elif wlo_d is not None:
+                w = FrArray(np.ascontiguousarray(wlo_d[p & mask]))
+            elif whi_d is not None:
+                w = FrArray(np.ascontiguousarray(whi_d[p >> shift]))
+            else:
+                w = FrArray.full(self.T, Fr.one())
+            G = frvec.scatter_add(w, c, self.K)    # bucket weights by value
+            GU = G.mul(U)
+            GU2 = G.mul(U2)
+            b = ((np.arange(self.K) >> low_bits) & 1).astype(bool)
+            # t=0: b=0 -> x=U (x^2-x = U^2-U); b=1 -> x=0
+            # t=2: b=0 -> x=-U (U^2+U);        b=1 -> x=2U (4U^2-2U)
+            s0 = Fr.zero()
+            s2 = Fr.zero()
+            nb = ~b
+            if nb.any():
+                a2 = FrArray(np.ascontiguousarray(GU2.d[nb])).sum()
+                a1 = FrArray(np.ascontiguousarray(GU.d[nb])).sum()
+                s0 = a2 - a1
+                s2 = a2 + a1
+            if b.any():
+                a2 = FrArray(np.ascontiguousarray(GU2.d[b])).sum()
+                a1 = FrArray(np.ascontiguousarray(GU.d[b])).sum()
+                s2 = s2 + Fr(4) * a2 - Fr(2) * a1
+            q0 = q0 + gamma * s0
+            q2 = q2 + gamma * s2
+        return [q0, q2]
+
+    def _phase1_bind(self, r: Fr) -> None:
+        from ..field import frvec
+        from ..field.frvec import FrArray
+        rnd = self._rows_round
+        low_bits = self.logK - rnd - 1
+        b = ((np.arange(self.K) >> low_bits) & 1).astype(bool)
+        # U[c] *= (b ? r : 1 - r)   (Montgomery limb rows)
+        mul = np.where(b[:, None], frvec._fr_limbs_cached(r)[0],
+                       frvec._fr_limbs_cached(Fr.one() - r)[0])
+        self._U = self._U.mul(FrArray(np.ascontiguousarray(
+            mul.astype(np.uint64))))
+        self._se.note_challenge(r, rnd)
+        self._rows_round += 1
+        if self._rows_round == self.logK:
+            # phase boundary: materialize the dense T-rows U[c_d(j)] and
+            # hand the cycle rounds to the fused Gruen engine
+            from ..field.frvec import GruenInstance
+            U_d = np.asarray(self._U.d)
+            rows = [FrArray(np.ascontiguousarray(U_d[c])) for c in self.idx]
+            self._gruen = GruenInstance(rows, self._terms, 3)
+            self.idx = None
 
     def num_rounds(self) -> int:
         return self._rounds
@@ -259,9 +381,14 @@ class BooleanityProver(RowsInstance, SumcheckInstanceProver):
         return Fr.zero()
 
     def compute_message(self, round: int, previous_claim: Fr) -> UniPoly:
+        if self._sparse and self._rows_round < self.logK:
+            return self._gruen_assemble(previous_claim, self._phase1_qev())
         return self.rows_message(previous_claim)
 
     def ingest_challenge(self, r: Fr, round: int) -> None:
+        if self._sparse and self._rows_round < self.logK:
+            self._phase1_bind(r)
+            return
         self.rows_bind(r)
 
     def cache_openings(self, accumulator, transcript, r: list[Fr]) -> None:

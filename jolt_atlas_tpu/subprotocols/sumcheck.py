@@ -177,7 +177,18 @@ class RowsInstance:
             return UniPoly.from_evals_and_hint(previous_claim, pts)
         dq = max(1, d - 1)
         qev = self._gruen.round_points(dq, whi, whi_shift, wlo, log_wlo)
-        l0, l1 = lin
+        return self._gruen_assemble(previous_claim, qev)
+
+    def _gruen_assemble(self, previous_claim: Fr, qev: list) -> UniPoly:
+        """s(X) = es * l(X) * q(X) from q's evals [q(0), q(2), ...] — the
+        shared tail of every Gruen-weighted round message (the caller may
+        compute qev by any engine: dense rows, device fleet, or the sparse
+        one-hot schedule in onehot.BooleanityProver)."""
+        from ..poly.spliteq import inv_cached
+        se = self._se
+        es = se.scalar
+        one = Fr.one()
+        l0, l1 = se.l_linear(self._rows_round)
         q0 = qev[0]
         # claim = es * (l(0) q(0) + l(1) q(1))  =>  recover q(1)
         q1 = (previous_claim * se.scalar_inv - l0 * q0) * inv_cached(l1)

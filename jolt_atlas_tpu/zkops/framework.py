@@ -261,16 +261,17 @@ def build_ra_checks_provers(node_idx: int, families: list[tuple[ChunkFamily, dic
     gammas + r_b (address||cycle)."""
     log_t = len(r_cycle)
     all_ids = []
-    all_ras = []
+    all_idx = []
     for fam, _ in families:
         for d in range(fam.num_chunks):
             all_ids.append(fam.poly_id_fn(d))
-            # integer one-hots: BooleanityProver's Gruen round-0 kernel
-            # consumes sparse 0/1 rows directly (no field conversion)
-            all_ras.append(onehot.one_hot_poly(fam.chunks[d]))
+            # chunk-value arrays only: the sparse two-phase Booleanity
+            # prover never materializes the (K, T) one-hot rows
+            all_idx.append(fam.chunks[d])
     gammas = transcript.challenge_vector(len(all_ids))
     r_b = transcript.challenge_vector_optimized(LOG_K_CHUNK + log_t)
-    instances = [onehot.BooleanityProver(all_ids, all_ras, r_b, gammas)]
+    instances = [onehot.BooleanityProver(all_ids, all_idx, onehot.K_CHUNK,
+                                         r_b, gammas)]
 
     eq_cycle = eq_evals(r_cycle)
     for fam, spec in families:

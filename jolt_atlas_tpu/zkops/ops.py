@@ -118,7 +118,7 @@ def node_witness(node, model, trace):
         cvals = onehot.chunk_values(arr_u, C)
         chunks[(node.idx, tag)] = cvals
         for d in range(C):
-            polys[CommittedPoly.make(tag, node.idx, d)] = onehot.one_hot_poly(cvals[d])
+            polys[CommittedPoly.make(tag, node.idx, d)] = onehot.one_hot_lazy(cvals[d])
 
     if isinstance(op, FOPS.ReLU):
         x = padded_flat(trace.node_outputs[node.inputs[0]])
@@ -159,7 +159,7 @@ def node_witness(node, model, trace):
             fam("GatherRaD", idx.astype(np.uint64), D)
         else:
             polys[CommittedPoly.make("GatherRa", node.idx)] = \
-                onehot.one_hot_poly(idx, K=V)
+                onehot.one_hot_lazy(idx, K=V)
     elif isinstance(op, FOPS.ScalarConstDiv):
         x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
         rem = np.mod(x, op.divisor)
@@ -209,7 +209,7 @@ def node_witness(node, model, trace):
         chunks[(node.idx, "SqrtRangeCheckRaD")] = cvals
         for d in range(_RSQ_NCHUNKS):
             polys[CommittedPoly.make("SqrtRangeCheckRaD", node.idx, d)] = \
-                onehot.one_hot_poly(cvals[d])
+                onehot.one_hot_lazy(cvals[d])
         polys[CommittedPoly.make("RsqrtQuotient", node.idx, 0)] = MLPoly(ints=Q)
         polys[CommittedPoly.make("RsqrtQuotient", node.idx, 1)] = MLPoly(ints=Y)
         polys[CommittedPoly.make("RsqrtQuotient", node.idx, 2)] = \
@@ -248,7 +248,7 @@ def node_witness(node, model, trace):
         chunks[(node.idx, "DivRangeCheckRaD")] = cvals
         for d in range(16):
             polys[CommittedPoly.make("DivRangeCheckRaD", node.idx, d)] = \
-                onehot.one_hot_poly(cvals[d])
+                onehot.one_hot_lazy(cvals[d])
         polys[CommittedPoly.make("DivNodeQuotient", node.idx)] = MLPoly(ints=q)
     elif isinstance(op, FOPS.Cube):
         a = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
@@ -1359,11 +1359,12 @@ def _prove_gather(node, ctx, r, out_claim):
     ctx.proofs[(node.idx, "Execution")] = proof
 
     # one-hot validity for GatherRa: hamming + booleanity over (V, n)
-    ra_poly = onehot.one_hot_fvec(idx_in.astype(np.int64), K=V)
+    idx64 = idx_in.astype(np.int64)
     gammas = ctx.transcript.challenge_vector(1)
-    r_b = ctx.transcript.challenge_vector_optimized(ra_poly.num_vars)
+    log_vn = (V.bit_length() - 1) + (len(idx64).bit_length() - 1)
+    r_b = ctx.transcript.challenge_vector_optimized(log_vn)
     pid = CommittedPoly.make("GatherRa", node.idx)
-    instances = [onehot.BooleanityProver([pid], [ra_poly], r_b, gammas),
+    instances = [onehot.BooleanityProver([pid], [idx64], V, r_b, gammas),
                  onehot.AddressReadCheckProver(
                      pid, SumcheckId.make("HammingWeight"), ("onesN", V),
                      G, r_i, Fr.one(), appends_opening=True)]

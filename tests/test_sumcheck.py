@@ -185,3 +185,74 @@ class TestBatchedSumcheck:
         verifier = ProductSumcheckVerifier(polys, claim)
         tv = Blake2bTranscript(b"ser")
         Sumcheck.verify(back, verifier, None, tv)
+
+
+class TestSparseBooleanity:
+    """The sparse two-phase Booleanity schedule must emit byte-identical
+    round messages to binding the dense (K, T) one-hot rows (it computes
+    the same polynomial — subprotocols/onehot.py BooleanityProver)."""
+
+    def _dense_reference(self, idx_arrays, K, r_b, gammas):
+        # the pre-sparse implementation: dense one-hot rows through the
+        # generic RowsInstance engine
+        from jolt_atlas_tpu.subprotocols import onehot
+        from jolt_atlas_tpu.subprotocols.sumcheck import (
+            RowsInstance, SumcheckInstanceProver)
+        from jolt_atlas_tpu.field.scalar import Fr
+
+        class Dense(RowsInstance, SumcheckInstanceProver):
+            def __init__(self):
+                ras = [onehot.one_hot_poly(a, K=K) for a in idx_arrays]
+                terms = []
+                for d, gamma in enumerate(gammas):
+                    terms.append((gamma, [d, d]))
+                    terms.append((Fr.zero() - gamma, [d]))
+                self.setup_rows(ras, terms, 3, eq_r=r_b)
+
+            def num_rounds(self):
+                return len(r_b)
+
+            def degree(self):
+                return 3
+
+            def input_claim(self, accumulator):
+                return Fr.zero()
+
+            def compute_message(self, round, previous_claim):
+                return self.rows_message(previous_claim)
+
+            def ingest_challenge(self, r, round):
+                self.rows_bind(r)
+
+        return Dense()
+
+    def test_messages_match_dense(self):
+        import numpy as np
+        from jolt_atlas_tpu.field.scalar import Fr
+        from jolt_atlas_tpu.subprotocols import onehot
+        from jolt_atlas_tpu.transcripts import Blake2bTranscript
+
+        rng = np.random.default_rng(0xB001)
+        for K, T, C in ((16, 64, 3), (8, 16, 1), (16, 4, 2)):
+            idxs = [rng.integers(0, K, size=T).astype(np.int64)
+                    for _ in range(C)]
+            t = Blake2bTranscript(b"bool")
+            gammas = t.challenge_vector(C)
+            logK = K.bit_length() - 1
+            logT = T.bit_length() - 1
+            r_b = t.challenge_vector_optimized(logK + logT)
+            sparse = onehot.BooleanityProver([None] * C, idxs, K, r_b, gammas)
+            dense = self._dense_reference(idxs, K, r_b, gammas)
+            prev_s = prev_d = Fr.zero()
+            for rnd in range(logK + logT):
+                ms = sparse.compute_message(rnd, prev_s)
+                md = dense.compute_message(rnd, prev_d)
+                assert [c.v for c in ms.coeffs] == [c.v for c in md.coeffs], \
+                    f"round {rnd} (K={K}, T={T})"
+                r = t.challenge_scalar_optimized()
+                prev_s = ms.evaluate(r)
+                prev_d = md.evaluate(r)
+                sparse.ingest_challenge(r, rnd)
+                dense.ingest_challenge(r, rnd)
+            for d in range(C):
+                assert sparse.row_final(d).v == dense.row_final(d).v
