@@ -81,8 +81,9 @@ def main():
         dt = time.time() - t0
         if dt < prove_s:
             prove_s = dt
-            phases = {name.strip(): round(wall, 3)
-                      for name, wall, _ in profiling._EVENTS}
+            phases = {name: round(wall, 3)
+                      for name, wall, _ in profiling._EVENTS
+                      if not name.startswith(" ")}  # top-level spans only
     t0 = time.time()
     ok = AtlasVerifier(pp).verify(proof, io)
     verify_s = time.time() - t0

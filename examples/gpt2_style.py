@@ -8,25 +8,27 @@ seq 16, vocab 8192, scale 2^12) exercising the GPT-2 code paths —
 multi-head attention, scale-2^12 teleport activations and softmax layout,
 vocab-scale gather + wide LM head — in a few minutes on this host.
 
-Flags:
-  --fullvocab  use the true 50257-token vocabulary (pads to 65536; the
-               LM-head satclamp family then runs over 2^24-entry one-hots —
-               ~1 h+ at the current round's prover speed)
+Flags (plus every nanogpt_style flag, e.g. --trace / --zk / --gen):
+  --fullvocab  the true 50257-token vocabulary (pads to 65536; the LM-head
+               satclamp family runs over T = seq*65536 cycles — feasible
+               since the sparse two-phase booleanity schedule, see
+               subprotocols/onehot.py)
   --full       the true 125M shape (12L/12H/768 + full vocab); exists to
                demonstrate the pipeline handles the shape, not a quick run
 """
 
 import os
-import subprocess
 import sys
 
-if __name__ == "__main__":
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "nanogpt_style.py")
-    args = sys.argv[1:]
-    full = "--full" in args
-    fullvocab = full or "--fullvocab" in args
-    args = [a for a in args if a not in ("--full", "--fullvocab")]
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nanogpt_style import main as nanogpt_main  # noqa: E402
+
+
+def main(argv: list[str]) -> int:
+    full = "--full" in argv
+    fullvocab = full or "--fullvocab" in argv
+    argv = [a for a in argv if a not in ("--full", "--fullvocab")]
     vocab = "50257" if fullvocab else "8192"
     if full:
         cfg = ["--blocks", "12", "--dim", "768", "--seq", "16",
@@ -34,5 +36,9 @@ if __name__ == "__main__":
     else:
         cfg = ["--blocks", "2", "--dim", "128", "--seq", "16",
                "--vocab", vocab, "--heads", "4"]
-    sys.exit(subprocess.call(
-        [sys.executable, script, "--scale", "12"] + cfg + args))
+    sys.argv = [sys.argv[0], "--scale", "12"] + cfg + argv
+    return nanogpt_main() or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -91,6 +91,45 @@ class KZGSRS:
                 self._prepared_failed = True
         return self._prepared
 
+    def device_bases(self):
+        """Device-resident base planes for the TPU Pippenger engine
+        (tpu/msm.py), or None. Engaged only when the measured host<->device
+        link clears the calibration gate (tpu/linkcal.py) — or when
+        JOLT_ATLAS_TPU_MSM=on forces it (tests, co-located runtimes). The
+        base upload happens once per SRS and is reused by every commit."""
+        if getattr(self, "_device", None) is not None:
+            return self._device
+        if getattr(self, "_device_failed", False):
+            return None
+        import os
+        mode = os.environ.get("JOLT_ATLAS_TPU_MSM", "auto")
+        self._device_failed = True
+        if mode == "off":
+            return None
+        prep = self.prepared_bases()
+        if prep is None:
+            return None
+        try:
+            from ..tpu import linkcal
+            if mode == "auto" and linkcal.cached_nonviable():
+                return None   # known-slow link: skip backend init entirely
+            from ..tpu import msm as tmsm
+            if not tmsm.available():
+                return None
+            if mode == "auto":
+                import jax
+                from ..tpu.fqplanes import PlanesCtx
+                from ..field.constants import FR_MODULUS
+                if (jax.default_backend() == "cpu"
+                        or not linkcal.device_path_viable(
+                            jax, PlanesCtx(FR_MODULUS))):
+                    return None
+            self._device = tmsm.DeviceBases(prep.buf.raw, prep.n)
+            self._device_failed = False
+        except Exception:
+            return None
+        return self._device
+
     @classmethod
     def setup(cls, max_degree: int, seed: bytes = b"jolt-atlas-tpu-srs") -> "KZGSRS":
         tau = int.from_bytes(hashlib.blake2b(seed, digest_size=32).digest(),

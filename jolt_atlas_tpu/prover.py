@@ -139,7 +139,19 @@ class AtlasProver:
                         [poly_map[p].onehot_indices for p in oh_pids])
                     commitments.update(zip(oh_pids, pts))
                 if dn_pids:
-                    pts = prep.msm_batch([poly_map[p].ints for p in dn_pids])
+                    # dense witness commits ride the device Pippenger when
+                    # the link calibration clears it (tpu/msm.py), else the
+                    # host batch-affine engine
+                    dev = self.pp.srs.device_bases()
+                    if dev is not None:
+                        from .curve.native import pack_scalars
+                        packed = [pack_scalars(poly_map[p].ints)
+                                  for p in dn_pids]
+                        pts = dev.msm_batch_packed(
+                            packed, [len(poly_map[p]) for p in dn_pids])
+                    else:
+                        pts = prep.msm_batch(
+                            [poly_map[p].ints for p in dn_pids])
                     commitments.update(zip(dn_pids, pts))
             else:
                 for pid in pids:
@@ -186,7 +198,9 @@ class AtlasProver:
                         transcript)
                 ctx.eval_reduction_proofs[node.idx] = proof
                 ctx.reduced[node.idx] = (new_pt, new_claim)
-            ZOPS.prove_node(node, ctx)
+            with span(f"node[{node.idx}] "
+                      f"{type(node.operator).__name__}"):
+                ZOPS.prove_node(node, ctx)
         iop_span.__exit__(None, None, None)
 
         # --- batched opening reduction + joint HyperKZG opening ---

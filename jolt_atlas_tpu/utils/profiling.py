@@ -13,6 +13,9 @@ import time
 from contextlib import contextmanager
 
 _ENABLED = os.environ.get("JOLT_ATLAS_TRACE", "") not in ("", "0")
+# JOLT_ATLAS_TRACE=2 additionally streams each span to stderr as it closes
+# (long proves under a timeout would otherwise lose the report entirely)
+_STREAM = os.environ.get("JOLT_ATLAS_TRACE", "") == "2"
 _EVENTS: list[tuple[str, float, int]] = []
 _DEPTH = 0
 
@@ -48,8 +51,13 @@ def span(name: str):
         yield
     finally:
         _DEPTH = depth
-        _EVENTS.append(("  " * depth + name, time.time() - t0,
-                        _rss_kb() - m0))
+        dt = time.time() - t0
+        _EVENTS.append(("  " * depth + name, dt, _rss_kb() - m0))
+        if _STREAM:
+            import sys
+            print(f"[trace] {'  ' * depth}{name}: {dt:.2f}s "
+                  f"(rss {_rss_kb() // 1024} MB)", file=sys.stderr,
+                  flush=True)
 
 
 def report() -> str:

@@ -1,0 +1,51 @@
+"""Device Pippenger MSM (tpu/msm.py) vs the host batch-affine engine.
+
+Forcing JOLT_ATLAS_TPU_MSM=on runs the XLA kernels on the test CPU
+backend, so this exercises the whole device path (base upload, digit
+grids, projective accumulation, bit-plane bucket combine, window Horner)
+without TPU hardware. Mirrors the role of the reference's MSM tests
+(joltworks/src/msm/mod.rs) for the accelerator engine that backs dense
+witness commits on link-viable deployments (commitment/kzg.py
+device_bases)."""
+
+import os
+
+import numpy as np
+import pytest
+
+# the accumulate/combine kernels take minutes to compile on the CPU
+# backend the first time; opt-in alongside the other device-path tests
+pytestmark = pytest.mark.skipif(
+    os.environ.get("JOLT_ATLAS_SLOW_TESTS", "") in ("", "0"),
+    reason="set JOLT_ATLAS_SLOW_TESTS=1 (XLA kernel compiles)")
+
+from jolt_atlas_tpu.commitment.kzg import KZGSRS
+from jolt_atlas_tpu.curve.native import pack_scalars
+from jolt_atlas_tpu.field.constants import FR_MODULUS
+
+
+def test_device_msm_matches_host():
+    from jolt_atlas_tpu.tpu import msm as tmsm
+    if not tmsm.available():
+        pytest.skip("no jax backend")
+    n = 512
+    srs = KZGSRS.setup(n - 1)
+    prep = srs.prepared_bases()
+    assert prep is not None
+    dev = tmsm.DeviceBases(prep.buf.raw, prep.n)
+    rng = np.random.default_rng(0x715)
+    cases = [
+        [int.from_bytes(rng.bytes(32), "little") % FR_MODULUS
+         for _ in range(n)],                         # random 254-bit
+        list(rng.integers(0, 1 << 16, size=n)),      # small witness values
+        [0] * n,                                     # all zero -> infinity
+        [1] + [0] * (n - 1),                         # single base
+        [FR_MODULUS - 1] * 8,                        # r-1 (negation-heavy)
+    ]
+    from jolt_atlas_tpu.field.scalar import Fr
+    packed = [pack_scalars([Fr(int(x)) for x in c]) for c in cases]
+    counts = [len(c) for c in cases]
+    got = dev.msm_batch_packed(packed, counts)
+    want = [prep.msm_packed(p, k) for p, k in zip(packed, counts)]
+    for g, w, c in zip(got, want, cases):
+        assert g == w, f"device MSM diverged on case {cases.index(c)}"
