@@ -11,6 +11,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include "mont4.h"
+
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
 typedef int64_t i64;
@@ -65,6 +67,14 @@ static inline void fr_sub(Fr4&o, const Fr4&a, const Fr4&b){
 }
 
 // CIOS Montgomery multiplication
+#ifdef MONT4_ADX
+static const u64 FR_QC[5] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                             0xb85045b68181585dULL, 0x30644e72e131a029ULL,
+                             0xc2e1f593efffffffULL};
+static inline void fr_mul(Fr4&out, const Fr4&a, const Fr4&b){
+  mont4_mul_adx(out.v, a.v, b.v, FR_QC);
+}
+#else
 static inline void fr_mul(Fr4&out, const Fr4&a, const Fr4&b){
   u64 t[6]={0,0,0,0,0,0};
   for(int i=0;i<4;i++){
@@ -92,6 +102,7 @@ static inline void fr_mul(Fr4&out, const Fr4&a, const Fr4&b){
   if(t[4] || ge(r,R_MOD)) sub_nocheck(r,r,R_MOD);
   out=r;
 }
+#endif  // MONT4_ADX
 
 #define PAR_THRESH 2048
 

@@ -12,6 +12,8 @@
 #include <vector>
 #include <algorithm>
 
+#include "mont4.h"
+
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
 
@@ -56,6 +58,14 @@ static inline void sub_mod(Fp&r, const Fp&a, const Fp&b){
   }
   r=t;
 }
+#ifdef MONT4_ADX
+static const u64 FQ_QC[5] = {0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                             0xb85045b68181585dULL, 0x30644e72e131a029ULL,
+                             0x87d20782e4866389ULL};
+static inline void mont_mul(Fp&r, const Fp&a, const Fp&b){
+  mont4_mul_adx(r.v, a.v, b.v, FQ_QC);
+}
+#else
 static inline void mont_mul(Fp&r, const Fp&a, const Fp&b){
   u64 t[6]={0,0,0,0,0,0};
   for(int i=0;i<4;i++){
@@ -77,6 +87,7 @@ static inline void mont_mul(Fp&r, const Fp&a, const Fp&b){
   if(t[4]||ge(out,Q_MOD)) sub_nored(out,out,Q_MOD);
   r=out;
 }
+#endif  // MONT4_ADX
 static inline void mont_sqr(Fp&r, const Fp&a){ mont_mul(r,a,a); }
 static inline bool is_zero(const Fp&a){ return !(a.v[0]|a.v[1]|a.v[2]|a.v[3]); }
 static inline bool eq_fp(const Fp&a, const Fp&b){
