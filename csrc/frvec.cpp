@@ -323,6 +323,31 @@ void frv_scatter_add(const u64* vals, const i64* idx, i64 T, u64* out,
   }
 }
 
+// Batched one-hot RLC accumulation (opening-reduction prepare): member j
+// adds the CONSTANT gammas[j] at every position idx[offs[j]..offs[j+1]).
+// Threads own disjoint slices of the output index space and each scan the
+// whole idx stream — collision-free without atomics, and no T-length value
+// array is ever materialized (the old path built an FrArray.full per
+// member and ran a serial scatter: ~3.3 s/prove at bench scale).
+void frv_scatter_const_ranges(const u64* gammas, const i64* offs,
+                              i64 nmemb, const i64* idx, u64* out, i64 K){
+  #pragma omp parallel
+  {
+    int nt=omp_get_num_threads(), t=omp_get_thread_num();
+    i64 lo=K*(i64)t/nt, hi=K*(i64)(t+1)/nt;
+    for(i64 j=0;j<nmemb;j++){
+      Fr4 g; memcpy(g.v,gammas+j*4,32);
+      for(i64 k=offs[j];k<offs[j+1];k++){
+        i64 p=idx[k];
+        if(p<lo||p>=hi) continue;
+        Fr4 o; memcpy(o.v,out+p*4,32);
+        fr_add(o,o,g);
+        memcpy(out+p*4,o.v,32);
+      }
+    }
+  }
+}
+
 // synthetic division by (X - u): quotient q of f(X)-f(u) in REVERSED order
 // (qrev[j] = q[n-2-j]) so the store stream runs ascending — the natural
 // descending store pattern defeated the write-combining/prefetch hardware

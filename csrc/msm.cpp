@@ -216,13 +216,15 @@ void msm_prep_points(const uint8_t* points, int64_t n, uint8_t* out) {
 // scalars: n * 32 bytes LE; out: 64 bytes affine (canonical) + 1 inf flag
 void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
                 int c, uint8_t* out, uint8_t* out_inf) {
-  const Fp* PX_ = (const Fp*)prep;  // interleaved [x0,y0,x1,y1,...]
-  std::vector<Fp> PX(n), PY(n);
+  // points stay in the interleaved prep layout [x0,y0,x1,y1,...]: the add
+  // loop gathers points in near-random order, and one 64B struct is one
+  // cache line instead of two (measured ~80 ns/add of pure miss latency)
+  const Fp* P = (const Fp*)prep;
+  #define PXI(i) P[2*(i)]
+  #define PYI(i) P[2*(i)+1]
   std::vector<uint8_t> PINF(n);
-  for(int64_t i=0;i<n;i++){
-    PX[i]=PX_[2*i]; PY[i]=PX_[2*i+1];
-    PINF[i] = is_zero(PX[i])&&is_zero(PY[i]);
-  }
+  for(int64_t i=0;i<n;i++)
+    PINF[i] = is_zero(PXI(i))&&is_zero(PYI(i));
   int maxbits=0;
   for(int64_t i=0;i<n;i++){
     const uint8_t* s=scalars+i*32;
@@ -261,15 +263,22 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
     std::vector<int64_t> pend, nextp;
     pend.reserve(n);
     int bitpos=w*c;
-    for(int64_t i=0;i<n;i++){
-      if(PINF[i]) continue;
-      const uint8_t* s=scalars+i*32;
-      uint32_t digit=0;
-      for(int b=0;b<c;b++){
-        int bp=bitpos+b;
-        if(bp<256 && (s[bp/8]&(1u<<(bp%8)))) digit|=1u<<b;
+    // word-based digit extraction (the per-bit loop cost ~0.2 s/MSM at 2^17)
+    {
+      int limb=bitpos>>6, off=bitpos&63;
+      uint64_t mask=(c==64)?~0ull:((1ull<<c)-1);
+      for(int64_t i=0;i<n;i++){
+        if(PINF[i]) continue;
+        uint64_t lo, hi=0;
+        memcpy(&lo, scalars+i*32+limb*8, 8);
+        uint64_t v=lo>>off;
+        if(off && limb+1<4){
+          memcpy(&hi, scalars+i*32+(limb+1)*8, 8);
+          v|=hi<<(64-off);
+        }
+        uint32_t digit=(uint32_t)(v&mask);
+        if(digit) pend.push_back(((int64_t)digit<<40)|i);
       }
-      if(digit) pend.push_back(((int64_t)digit<<40)|i);
     }
     std::vector<int32_t> batch_b; std::vector<int64_t> batch_i;
     std::vector<uint8_t> batch_dbl;
@@ -278,14 +287,22 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
     while(!pend.empty()){
       nextp.clear(); batch_b.clear(); batch_i.clear(); batch_dbl.clear();
       dens.clear();
-      for(int64_t e : pend){
+      const size_t PF=12;  // prefetch distance: gathers are the bottleneck
+      for(size_t pi=0;pi<pend.size();pi++){
+        if(pi+PF<pend.size()){
+          int64_t ef=pend[pi+PF];
+          __builtin_prefetch(&P[2*(ef&0xFFFFFFFFFFLL)]);
+          __builtin_prefetch(&bx[(int)(ef>>40)-1]);
+          __builtin_prefetch(&by[(int)(ef>>40)-1]);
+        }
+        int64_t e=pend[pi];
         int b=(int)(e>>40)-1;
         int64_t i=e&0xFFFFFFFFFFLL;
         if(used[b]==epoch){ nextp.push_back(e); continue; }
         used[b]=epoch;
-        if(!bfull[b]){ bx[b]=PX[i]; by[b]=PY[i]; bfull[b]=1; continue; }
-        if(eq_fp(bx[b],PX[i])){
-          if(eq_fp(by[b],PY[i])){      // doubling: lambda = 3x^2 / 2y
+        if(!bfull[b]){ bx[b]=PXI(i); by[b]=PYI(i); bfull[b]=1; continue; }
+        if(eq_fp(bx[b],PXI(i))){
+          if(eq_fp(by[b],PYI(i))){      // doubling: lambda = 3x^2 / 2y
             Fp den; add_mod(den,by[b],by[b]);
             batch_b.push_back(b); batch_i.push_back(i);
             batch_dbl.push_back(1); dens.push_back(den);
@@ -294,32 +311,64 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
           }
           continue;
         }
-        Fp den; sub_mod(den,PX[i],bx[b]);  // lambda = (y2-y1)/(x2-x1)
+        Fp den; sub_mod(den,PXI(i),bx[b]);  // lambda = (y2-y1)/(x2-x1)
         batch_b.push_back(b); batch_i.push_back(i);
         batch_dbl.push_back(0); dens.push_back(den);
       }
       size_t m=dens.size();
       if(m){
-        prefix.resize(m+1);
-        prefix[0]=R1;
-        for(size_t k=0;k<m;k++) mont_mul(prefix[k+1],prefix[k],dens[k]);
-        Fp inv; mont_pow(inv,prefix[m],QM2);
+        // Montgomery batch inversion in L interleaved lanes (lane of k is
+        // k%L): a single prefix/suffix chain is latency-bound on the
+        // dependent mont_mul (~17 ns each, ~280 ns/add measured); L
+        // independent chains run at multiplier throughput instead.
+        const size_t L=8;
+        prefix.resize(m);
+        Fp lane_acc[L];
+        for(size_t l=0;l<L;l++) lane_acc[l]=R1;
+        for(size_t k=0;k<m;k++){
+          size_t l=k%L;
+          prefix[k]=lane_acc[l];            // product of lane elems before k
+          mont_mul(lane_acc[l],lane_acc[l],dens[k]);
+        }
+        // one inversion for the grand product, then per-lane inverses via
+        // prefix/suffix products over the L lane totals
+        Fp lpre[L+1]; lpre[0]=R1;
+        for(size_t l=0;l<L;l++) mont_mul(lpre[l+1],lpre[l],lane_acc[l]);
+        Fp inv_all; mont_pow(inv_all,lpre[L],QM2);
+        Fp lane_inv[L];
+        for(size_t l=L;l-- > 0;){
+          mont_mul(lane_inv[l],inv_all,lpre[l]);
+          mont_mul(inv_all,inv_all,lane_acc[l]);
+        }
+        // backward: ik[k] = lane_inv * prefix[k]; chains interleave by lane
+        std::vector<Fp>& ik=dens;           // reuse storage: write ik over dens
         for(size_t k=m;k-- > 0;){
-          Fp ik; mont_mul(ik,inv,prefix[k]);
-          mont_mul(inv,inv,dens[k]);
+          size_t l=k%L;
+          Fp d=dens[k];
+          mont_mul(ik[k],lane_inv[l],prefix[k]);
+          mont_mul(lane_inv[l],lane_inv[l],d);
+        }
+        // affine adds: buckets are distinct within a batch, so iterations
+        // are independent and the OoO core overlaps the short mul chains
+        for(size_t k=0;k<m;k++){
+          if(k+PF<m){
+            __builtin_prefetch(&P[2*batch_i[k+PF]]);
+            __builtin_prefetch(&bx[batch_b[k+PF]]);
+            __builtin_prefetch(&by[batch_b[k+PF]]);
+          }
           int b=batch_b[k]; int64_t i=batch_i[k];
           Fp lam;
           if(batch_dbl[k]){
             Fp x2; mont_sqr(x2,bx[b]);
             Fp num; add_mod(num,x2,x2); add_mod(num,num,x2);
-            mont_mul(lam,num,ik);
+            mont_mul(lam,num,ik[k]);
           } else {
-            Fp num; sub_mod(num,PY[i],by[b]);
-            mont_mul(lam,num,ik);
+            Fp num; sub_mod(num,PYI(i),by[b]);
+            mont_mul(lam,num,ik[k]);
           }
           Fp x3; mont_sqr(x3,lam);
           sub_mod(x3,x3,bx[b]);
-          sub_mod(x3,x3,PX[i]);
+          sub_mod(x3,x3,PXI(i));
           Fp y3; sub_mod(y3,bx[b],x3);
           mont_mul(y3,lam,y3);
           sub_mod(y3,y3,by[b]);
