@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <omp.h>
 
 #include "mont4.h"
 

@@ -414,6 +414,8 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
   memcpy(out, ax.v, 32);
   memcpy(out+32, ay.v, 32);
   *out_inf=0;
+  #undef PXI
+  #undef PYI
 }
 
 // n independent scalar multiplications of ONE affine base point.

@@ -105,6 +105,8 @@ def _load():
                                  _U64]),
             ("frv_scatter_add", [_U64, _I64, ctypes.c_int64, _U64,
                                  ctypes.c_int64]),
+            ("frv_scatter_const_ranges", [_U64, _I64, ctypes.c_int64, _I64,
+                                          _U64, ctypes.c_int64]),
             ("frv_i64_mat_vec", [_I64, _U64, ctypes.c_int64, ctypes.c_int64,
                                  _U64]),
             ("frv_syndiv", [_U64, _U64, ctypes.c_int64, _U64]),
@@ -769,6 +771,23 @@ def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:
     ii = np.ascontiguousarray(np.asarray(idx).ravel(), dtype=np.int64)
     _load().frv_scatter_add(_c(vals.d), ii, len(ii), out.d, K)
     return out
+
+
+def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
+    """acc[idx_list[j][t]] += gammas[j] for every member j, in one
+    OpenMP pass (threads own disjoint output ranges; no per-member
+    T-length value array). Batched one-hot RLC accumulation for the
+    opening-reduction prepare (poly/opening.py)."""
+    if not idx_list:
+        return
+    gl = np.ascontiguousarray(np.concatenate(
+        [_fr_limbs_cached(g) for g in gammas]))
+    parts = [np.asarray(ix).ravel() for ix in idx_list]
+    offs = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offs[1:])
+    idx = np.ascontiguousarray(np.concatenate(parts), dtype=np.int64)
+    _load().frv_scatter_const_ranges(gl, offs, len(parts), idx, acc.d,
+                                     len(acc))
 
 
 def syndiv(coeffs: FrArray, u: Fr) -> FrArray:

@@ -88,16 +88,14 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
         from ..field.frvec import FrArray
         n = 1 << len(self.point)
         acc = vec.zeros(n)
+        oh_gammas, oh_idx = [], []  # batched one-hot RLC accumulation
         for j, p in self.members:
             src_poly = poly_map[p.poly_id]
             if (isinstance(acc, FrArray)
                     and getattr(src_poly, "onehot_indices", None) is not None
                     and src_poly.fvec is None):
-                idx = src_poly.onehot_indices
-                gam = FrArray.full(len(idx), self.gamma_powers[j])
-                frvec._load().frv_scatter_add(
-                    frvec._c(gam.d), np.ascontiguousarray(idx, np.int64),
-                    len(idx), acc.d, len(acc))
+                oh_gammas.append(self.gamma_powers[j])
+                oh_idx.append(src_poly.onehot_indices)
                 continue
             f = src_poly.to_field()
             if isinstance(acc, FrArray) and isinstance(f, FrArray):
@@ -108,6 +106,11 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
                 acc[: len(f)] = vec.vadd(acc[: len(f)], contrib)
             else:
                 acc = vec.vadd(acc, contrib)
+        if oh_idx:
+            # one parallel range-partitioned pass over all members
+            # (csrc frv_scatter_const_ranges): adds the constant gamma_j at
+            # every one-hot position, no T-length value arrays materialized
+            frvec.scatter_const_ranges(acc, oh_gammas, oh_idx)
         self.rlc_fvec = acc
 
     def setup_sumcheck(self):
