@@ -9,6 +9,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 
@@ -262,15 +264,6 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
   // ~16 for a Jacobian mixed add.
   #pragma omp parallel for schedule(dynamic)
   for(int w=0;w<windows;w++){
-    // the top window may span far fewer than c bits (253 = 18*14+1):
-    // its digit space collapses to 2^wbits buckets, and the epoch scheme
-    // (one absorbed point per bucket per pending-list rescan) goes
-    // quadratic when occupancy n/2^wbits is large (measured: 65k epochs,
-    // ~10 s, on the 2-bit top window of a 2^17 254-bit MSM). Such windows
-    // take the dense path below: per-digit sequential Jacobian chains.
-    int wbits = (w==windows-1) ? maxbits - w*c : c;
-    if(wbits<1) wbits=1;
-    int64_t occ = n >> wbits;
     std::vector<Fp> bx(nbuckets), by(nbuckets);
     std::vector<uint8_t> bfull(nbuckets, 0);
     std::vector<uint32_t> used(nbuckets, 0);
@@ -293,27 +286,6 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
         uint32_t digit=(uint32_t)(v&mask);
         if(digit) pend.push_back(((int64_t)digit<<40)|i);
       }
-    }
-    if(occ > 64){
-      // dense path: one Jacobian accumulator per digit value, a single
-      // sequential pass (no inversions, no rescans), then the usual
-      // running-sum bucket combine
-      int64_t B=((int64_t)1<<wbits)-1;
-      std::vector<Pt> jb(B);
-      for(int64_t b=0;b<B;b++) pt_set_inf(jb[b]);
-      for(size_t pi=0;pi<pend.size();pi++){
-        int64_t e=pend[pi];
-        int64_t b=(e>>40)-1;
-        int64_t i=e&0xFFFFFFFFFFLL;
-        pt_add_affine(jb[b],jb[b],PXI(i),PYI(i));
-      }
-      Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
-      for(int64_t b=B-1;b>=0;b--){
-        pt_add(running,running,jb[b]);
-        pt_add(acc,acc,running);
-      }
-      window_sums[w]=acc;
-      continue;
     }
     std::vector<int32_t> batch_b; std::vector<int64_t> batch_i;
     std::vector<uint8_t> batch_dbl;
@@ -412,6 +384,9 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
       }
       pend.swap(nextp);
       epoch++;
+    }
+    if(getenv("JOLT_MSM_DEBUG")){
+      fprintf(stderr, "w=%d epochs=%u\n", w, epoch);
     }
     Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
     for(int b=nbuckets-1;b>=0;b--){
