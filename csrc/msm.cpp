@@ -590,4 +590,264 @@ void msm_g1(const uint8_t* points, const uint8_t* scalars, int64_t n,
   msm_g1_pre(prep.data(), scalars, n, c, out, out_inf);
 }
 
+
+// ---------------------------------------------------------------------------
+// Optimal-ate pairing on BN254 (verifier-side: HyperKZG/Dory pairing checks;
+// reference consumes this through ark-ec, hyperkzg/mod.rs:451-514).
+//
+// Flat-tower layout matching curve/fq.py: Fq12 = Fq[w]/(w^12 - 18 w^6 + 82),
+// G2 points kept in twist coordinates (x, y) in Fq2 = Fq[u]/(u^2+1); the
+// lift to E(Fq12) is (x w^2, y w^3), which keeps every Miller-loop slope
+// sparse: line(P) = -yP + (lam xP) w + (y - lam x) w^3 with lam in Fq2.
+// Final exponentiation is a generic square-and-multiply by the caller-
+// supplied (q^12-1)/r (generic pow is ~13 ms; fine for a verifier).
+
+struct Fq2v { Fp a, b; };            // a + b u, u^2 = -1
+struct Fq12v { Fp c[12]; };          // sum c[i] w^i
+
+static inline void fq2_add(Fq2v&r, const Fq2v&x, const Fq2v&y){
+  add_mod(r.a,x.a,y.a); add_mod(r.b,x.b,y.b);
+}
+static inline void fq2_sub(Fq2v&r, const Fq2v&x, const Fq2v&y){
+  sub_mod(r.a,x.a,y.a); sub_mod(r.b,x.b,y.b);
+}
+static inline void fq2_mul(Fq2v&r, const Fq2v&x, const Fq2v&y){
+  Fp t0,t1,t2,t3;
+  mont_mul(t0,x.a,y.a); mont_mul(t1,x.b,y.b);
+  mont_mul(t2,x.a,y.b); mont_mul(t3,x.b,y.a);
+  sub_mod(r.a,t0,t1); add_mod(r.b,t2,t3);
+}
+static inline void fq2_neg(Fq2v&r, const Fq2v&x){
+  Fp z={{0,0,0,0}}; sub_mod(r.a,z,x.a); sub_mod(r.b,z,x.b);
+}
+static inline bool fq2_eq(const Fq2v&x, const Fq2v&y){
+  return eq_fp(x.a,y.a)&&eq_fp(x.b,y.b);
+}
+static void fq2_inv(Fq2v&r, const Fq2v&x){
+  Fp d,t0,t1, qm2=Q_MOD;
+  { u128 borrow=0; u64 two=2;
+    for(int i=0;i<4;i++){ u128 dd=(u128)qm2.v[i]-(i==0?two:0)-borrow;
+      qm2.v[i]=(u64)dd; borrow=(dd>>64)&1; } }
+  mont_sqr(t0,x.a); mont_sqr(t1,x.b); add_mod(d,t0,t1);
+  Fp dinv; mont_pow(dinv,d,qm2);
+  mont_mul(r.a,x.a,dinv);
+  Fp nb; Fp z={{0,0,0,0}}; sub_mod(nb,z,x.b);
+  mont_mul(r.b,nb,dinv);
+}
+
+static void fq12_mul(Fq12v&r, const Fq12v&x, const Fq12v&y){
+  Fp t[23]; memset(t,0,sizeof(t));
+  for(int i=0;i<12;i++){
+    if(is_zero(x.c[i])) continue;
+    for(int j=0;j<12;j++){
+      Fp p; mont_mul(p,x.c[i],y.c[j]);
+      add_mod(t[i+j],t[i+j],p);
+    }
+  }
+  // w^12 = 18 w^6 - 82
+  static Fp M18, M82; static bool init=false;
+  if(!init){
+    Fp e18={{18,0,0,0}}, e82={{82,0,0,0}};
+    mont_mul(M18,e18,R2); mont_mul(M82,e82,R2); init=true;
+  }
+  for(int k=22;k>=12;k--){
+    Fp x18; mont_mul(x18,t[k],M18); add_mod(t[k-6],t[k-6],x18);
+    Fp x82; mont_mul(x82,t[k],M82); sub_mod(t[k-12],t[k-12],x82);
+  }
+  memcpy(r.c,t,sizeof(Fp)*12);
+}
+static inline void fq12_one(Fq12v&r){ memset(&r,0,sizeof(r)); r.c[0]=R1; }
+static bool fq12_is_one(const Fq12v&x){
+  if(!eq_fp(x.c[0],R1)) return false;
+  for(int i=1;i<12;i++) if(!is_zero(x.c[i])) return false;
+  return true;
+}
+
+// sparse line multiply: f *= (c0 + c1 w + c7 w^7) + (c3 w^3 + c9 w^9)
+// (positions {0,1,3,7,9}; vertical lines use {0,2,8} — pass via idx)
+static void fq12_mul_sparse(Fq12v&r, const Fq12v&x, const Fp* cs,
+                            const int* idx, int ncs){
+  Fp t[23]; memset(t,0,sizeof(t));
+  for(int s=0;s<ncs;s++){
+    if(is_zero(cs[s])) continue;
+    int j=idx[s];
+    for(int i=0;i<12;i++){
+      Fp p; mont_mul(p,x.c[i],cs[s]);
+      add_mod(t[i+j],t[i+j],p);
+    }
+  }
+  static Fp M18b, M82b; static bool initb=false;
+  if(!initb){
+    Fp e18={{18,0,0,0}}, e82={{82,0,0,0}};
+    mont_mul(M18b,e18,R2); mont_mul(M82b,e82,R2); initb=true;
+  }
+  for(int k=22;k>=12;k--){
+    Fp x18; mont_mul(x18,t[k],M18b); add_mod(t[k-6],t[k-6],x18);
+    Fp x82; mont_mul(x82,t[k],M82b); sub_mod(t[k-12],t[k-12],x82);
+  }
+  memcpy(r.c,t,sizeof(Fp)*12);
+}
+
+// Frobenius on twist coordinates: pi(x, y) = (conj(x) g2, conj(y) g3),
+// g2 = xi^((q-1)/3), g3 = xi^((q-1)/2), xi = 9 + u (see pairing.py:99-101,
+// derived from w^(2q) = w^2 xi^((q-1)/3), w^(3q) = w^3 xi^((q-1)/2)).
+// Canonical (non-Montgomery) constants; converted on first use.
+static const u64 G2FROB_A[4] = {0x99e39557176f553dULL, 0xb78cc310c2c3330cULL,
+                                0x4c0bec3cf559b143ULL, 0x2fb347984f7911f7ULL};
+static const u64 G2FROB_B[4] = {0x1665d51c640fcba2ULL, 0x32ae2a1d0b7c9dceULL,
+                                0x4ba4cc8bd75a0794ULL, 0x16c9e55061ebae20ULL};
+static const u64 G3FROB_A[4] = {0xdc54014671a0135aULL, 0xdbaae0eda9c95998ULL,
+                                0xdc5ec698b6e2f9b9ULL, 0x063cf305489af5dcULL};
+static const u64 G3FROB_B[4] = {0x82d37f632623b0e3ULL, 0x21807dc98fa25bd2ULL,
+                                0x0704b5a7ec796f2bULL, 0x07c03cbcac41049aULL};
+
+struct TwistPt { Fq2v x, y; bool inf; };
+
+static void twist_frob(TwistPt&r, const TwistPt&p){
+  static Fq2v G2c, G3c; static bool init=false;
+  if(!init){
+    Fp a,b;
+    memcpy(a.v,G2FROB_A,32); memcpy(b.v,G2FROB_B,32);
+    mont_mul(G2c.a,a,R2); mont_mul(G2c.b,b,R2);
+    memcpy(a.v,G3FROB_A,32); memcpy(b.v,G3FROB_B,32);
+    mont_mul(G3c.a,a,R2); mont_mul(G3c.b,b,R2);
+    init=true;
+  }
+  Fq2v cx=p.x, cy=p.y;
+  Fp z={{0,0,0,0}};
+  sub_mod(cx.b,z,cx.b); sub_mod(cy.b,z,cy.b);   // conjugate
+  fq2_mul(r.x,cx,G2c); fq2_mul(r.y,cy,G3c);
+  r.inf=p.inf;
+}
+
+// line through A, B (twist coords) evaluated at P=(px, py) in G1, then
+// f *= line; also advances A to A+B (or 2A). Mirrors pairing.py _line/_add.
+static void line_mul_step(Fq12v&f, TwistPt&A, const TwistPt&B,
+                          const Fp&px, const Fp&py, bool dbl){
+  Fq2v lam;
+  if(dbl){
+    // lam = 3 x^2 / 2y
+    Fq2v x2, num, den;
+    fq2_mul(x2,A.x,A.x);
+    fq2_add(num,x2,x2); fq2_add(num,num,x2);
+    fq2_add(den,A.y,A.y);
+    Fq2v di; fq2_inv(di,den); fq2_mul(lam,num,di);
+  } else {
+    if(fq2_eq(A.x,B.x)){
+      if(fq2_eq(A.y,B.y)){ line_mul_step(f,A,B,px,py,true); return; }
+      // vertical: l = xP - x w^2 -> positions {0, 2, 8}
+      Fp cs[3]; int idx[3]={0,2,8};
+      cs[0]=px;
+      // embed -x: (a + b u) at w^2 -> (a - 9b) w^2 + b w^8; negated
+      Fp nine={{9,0,0,0}}, m9; mont_mul(m9,nine,R2);
+      Fp t9; mont_mul(t9,A.x.b,m9);
+      Fp e2; sub_mod(e2,A.x.a,t9);
+      Fp z={{0,0,0,0}};
+      sub_mod(cs[1],z,e2); sub_mod(cs[2],z,A.x.b);
+      fq12_mul_sparse(f,f,cs,idx,3);
+      A.inf=true; return;
+    }
+    Fq2v num, den, di;
+    fq2_sub(num,B.y,A.y); fq2_sub(den,B.x,A.x);
+    fq2_inv(di,den); fq2_mul(lam,num,di);
+  }
+  // l = -yP + (lam xP) w + (y - lam x) w^3
+  Fq2v lxp, a3, lx;
+  lxp.a=lam.a; lxp.b=lam.b;
+  Fp t; mont_mul(t,lam.a,px); lxp.a=t; mont_mul(t,lam.b,px); lxp.b=t;
+  fq2_mul(lx,lam,A.x); fq2_sub(a3,A.y,lx);
+  Fp nine={{9,0,0,0}}, m9; mont_mul(m9,nine,R2);
+  Fp cs[5]; int idx[5]={0,1,7,3,9};
+  Fp z={{0,0,0,0}};
+  sub_mod(cs[0],z,py);
+  Fp t9; mont_mul(t9,lxp.b,m9); sub_mod(cs[1],lxp.a,t9); cs[2]=lxp.b;
+  mont_mul(t9,a3.b,m9); sub_mod(cs[3],a3.a,t9); cs[4]=a3.b;
+  fq12_mul_sparse(f,f,cs,idx,5);
+  // advance A
+  Fq2v l2, nx, ny, d;
+  fq2_mul(l2,lam,lam);
+  if(dbl){ fq2_add(d,A.x,A.x); fq2_sub(nx,l2,d); }
+  else   { fq2_sub(nx,l2,A.x); fq2_sub(nx,nx,B.x); }
+  Fq2v xd; fq2_sub(xd,A.x,nx);
+  fq2_mul(ny,lam,xd); fq2_sub(ny,ny,A.y);
+  A.x=nx; A.y=ny;
+}
+
+// ate loop count 6x+2 = 29793968203157093288 (pairing.py:24)
+static const u64 ATE_LO = 0x9d797039be763ba8ULL;
+static const u64 ATE_HI = 0x1ULL;
+static inline int ate_bit(int i){
+  return i<64 ? (int)((ATE_LO>>i)&1) : (int)((ATE_HI>>(i-64))&1);
+}
+
+static void miller_loop_c(Fq12v&f, const Fp&px, const Fp&py,
+                          const TwistPt&Q){
+  fq12_one(f);
+  TwistPt R=Q;
+  int top = 64; // bit_length(ATE)-1 = 64; start from bit 63 (consume MSB)
+  for(int i=top-1;i>=0;i--){
+    Fq12v f2; fq12_mul(f2,f,f); f=f2;
+    line_mul_step(f,R,R,px,py,true);
+    if(ate_bit(i)){
+      line_mul_step(f,R,Q,px,py,false);
+    }
+  }
+  TwistPt q1, q2, nq2;
+  twist_frob(q1,Q);
+  twist_frob(q2,q1);
+  nq2=q2; Fp z={{0,0,0,0}};
+  sub_mod(nq2.y.a,z,q2.y.a); sub_mod(nq2.y.b,z,q2.y.b);
+  line_mul_step(f,R,q1,px,py,false);
+  line_mul_step(f,R,nq2,px,py,false);
+}
+
+}  // extern "C" (msm)
+
+extern "C" {
+
+// g1s: k * 64B canonical affine (zero-zero = infinity)
+// g2s: k * 128B canonical twist affine (x.a, x.b, y.a, y.b; all-zero = inf)
+// exp: final-exponent (q^12-1)/r as LE bytes
+// out: 12 * 32B canonical Fq12 coefficients of prod_miller ^ exp
+void bn_pairing_product(const uint8_t* g1s, const uint8_t* g2s, int64_t k,
+                        const uint8_t* exp, int64_t exp_len, uint8_t* out){
+  Fq12v acc; fq12_one(acc);
+  for(int64_t i=0;i<k;i++){
+    Fp px, py;
+    memcpy(px.v,g1s+i*64,32); memcpy(py.v,g1s+i*64+32,32);
+    TwistPt Q;
+    memcpy(Q.x.a.v,g2s+i*128,32);    memcpy(Q.x.b.v,g2s+i*128+32,32);
+    memcpy(Q.y.a.v,g2s+i*128+64,32); memcpy(Q.y.b.v,g2s+i*128+96,32);
+    bool p_inf = is_zero(px)&&is_zero(py);
+    bool q_inf = is_zero(Q.x.a)&&is_zero(Q.x.b)&&is_zero(Q.y.a)&&is_zero(Q.y.b);
+    if(p_inf||q_inf) continue;
+    // to Montgomery
+    mont_mul(px,px,R2); mont_mul(py,py,R2);
+    mont_mul(Q.x.a,Q.x.a,R2); mont_mul(Q.x.b,Q.x.b,R2);
+    mont_mul(Q.y.a,Q.y.a,R2); mont_mul(Q.y.b,Q.y.b,R2);
+    Q.inf=false;
+    Fq12v f; miller_loop_c(f,px,py,Q);
+    Fq12v t; fq12_mul(t,acc,f); acc=t;
+  }
+  // final exponentiation: generic MSB-first square-and-multiply
+  int topbit=-1;
+  for(int64_t b=exp_len*8-1;b>=0;b--){
+    if(exp[b/8]&(1u<<(b%8))){ topbit=(int)b; break; }
+  }
+  Fq12v r; fq12_one(r);
+  if(topbit>=0){
+    r=acc;
+    for(int b=topbit-1;b>=0;b--){
+      Fq12v t; fq12_mul(t,r,r); r=t;
+      if(exp[b/8]&(1u<<(b%8))){ fq12_mul(t,r,acc); r=t; }
+    }
+  }
+  // decode from Montgomery
+  Fp one={{1,0,0,0}};
+  for(int i=0;i<12;i++){
+    Fp c; mont_mul(c,r.c[i],one);
+    memcpy(out+i*32,c.v,32);
+  }
+}
+
 }  // extern "C"

@@ -78,6 +78,10 @@ def _load():
             ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64, flags="C"),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
         lib.msm_g1_pre_onehot_batch.restype = None
+        lib.bn_pairing_product.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+        lib.bn_pairing_product.restype = None
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None

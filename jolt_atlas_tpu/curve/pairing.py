@@ -116,8 +116,41 @@ def pairing(p: G1, q: G2) -> FQ12:
     return miller_loop(twist(q), _g1_to_fq12(p)) ** _FINAL_EXP
 
 
+def _pairing_product_native(pairs):
+    """csrc pairing engine (csrc/msm.cpp bn_pairing_product): same flat
+    Fq12 construction, cross-checked coefficient-exact against this
+    module. None when the native lib is unavailable."""
+    from . import native
+    lib = native._load()
+    if lib is None or not hasattr(lib, "bn_pairing_product"):
+        return None
+    import ctypes
+    g1b = b"".join(
+        b"\x00" * 64 if p.is_zero()
+        else p.x.to_bytes(32, "little") + p.y.to_bytes(32, "little")
+        for p, _ in pairs)
+    g2b = b"".join(
+        b"\x00" * 128 if q.is_zero()
+        else (q.x.a.to_bytes(32, "little") + q.x.b.to_bytes(32, "little")
+              + q.y.a.to_bytes(32, "little") + q.y.b.to_bytes(32, "little"))
+        for _, q in pairs)
+    out = ctypes.create_string_buffer(12 * 32)
+    lib.bn_pairing_product(g1b, g2b, len(pairs), _FINAL_EXP_BYTES,
+                           len(_FINAL_EXP_BYTES), out)
+    return [int.from_bytes(out.raw[i * 32:(i + 1) * 32], "little")
+            for i in range(12)]
+
+
+_FINAL_EXP_BYTES = _FINAL_EXP.to_bytes((_FINAL_EXP.bit_length() + 7) // 8,
+                                       "little")
+
+
 def pairing_check(pairs) -> bool:
     """prod e(Pi, Qi) == 1, with one shared final exponentiation."""
+    pairs = list(pairs)
+    res = _pairing_product_native(pairs)
+    if res is not None:
+        return res[0] == 1 and all(c == 0 for c in res[1:])
     acc = FQ12.one()
     for p, q in pairs:
         if p.is_zero() or q.is_zero():

@@ -181,6 +181,9 @@ class ProverOpeningAccumulator:
     def __init__(self):
         self.openings: dict[OpeningId, tuple[list[Fr], Fr]] = {}
         self.pending: dict[OpeningId, _PendingOpening] = {}
+        # virtual-poly -> [OpeningId] index (collect_node_claims was a
+        # measured O(nodes x openings) scan on both prover and verifier)
+        self.by_virtual: dict = {}
 
     # -- appends (absorb claim into transcript, like the reference) --------
     def append_committed(self, transcript, opening_id: OpeningId,
@@ -195,6 +198,8 @@ class ProverOpeningAccumulator:
                        point: list[Fr], claim: Fr) -> None:
         assert opening_id.is_virtual
         transcript.append_scalar(claim)
+        if opening_id not in self.openings:
+            self.by_virtual.setdefault(opening_id.poly, []).append(opening_id)
         self.openings[opening_id] = (list(point), claim)
 
     def get_opening(self, opening_id: OpeningId) -> tuple[list[Fr], Fr]:
@@ -272,6 +277,7 @@ class VerifierOpeningAccumulator:
         self.proof_claims = proof_claims
         self.openings: dict[OpeningId, tuple[list[Fr], Fr]] = {}
         self.pending: dict[OpeningId, _PendingOpening] = {}
+        self.by_virtual: dict = {}
 
     def claim_of(self, opening_id: OpeningId) -> Fr:
         return self.proof_claims[opening_id]
@@ -290,6 +296,8 @@ class VerifierOpeningAccumulator:
         assert opening_id.is_virtual
         claim = self.proof_claims[opening_id]
         transcript.append_scalar(claim)
+        if opening_id not in self.openings:
+            self.by_virtual.setdefault(opening_id.poly, []).append(opening_id)
         self.openings[opening_id] = (list(point), claim)
 
     def get_opening(self, opening_id: OpeningId) -> tuple[list[Fr], Fr]:

@@ -70,11 +70,13 @@ def _fvec_to_ints(fvec) -> list[int]:
 def collect_node_claims(accumulator, node_idx):
     """All (id, point, claim) openings on NodeOutput(node_idx), sorted."""
     target = VirtualPoly.make("NodeOutput", node_idx)
+    ids = accumulator.by_virtual.get(target)
+    if not ids:
+        return []
     out = []
-    for oid in sorted(accumulator.openings, key=OpeningId.sort_key):
-        if oid.is_virtual and oid.poly == target:
-            point, claim = accumulator.openings[oid]
-            out.append((oid, point, claim))
+    for oid in sorted(ids, key=OpeningId.sort_key):
+        point, claim = accumulator.openings[oid]
+        out.append((oid, point, claim))
     return out
 
 

@@ -200,6 +200,24 @@ class AddressReadCheckProver(RowsInstance, SumcheckInstanceProver):
                 point, self.row_final(1))
 
 
+_TEVAL_CACHE: dict = {}
+
+
+def _table_mle_eval(spec, r) -> Fr:
+    """Memoized K_CHUNK-table MLE evaluation: instances batched into one
+    sumcheck share the verifier challenge r, so the same (spec, r) pair
+    recurs hundreds of times per verify (measured ~0.2 s of redundant
+    16-entry evaluates on the bench model)."""
+    key = (spec, tuple(x.v for x in r))
+    got = _TEVAL_CACHE.get(key)
+    if got is None:
+        if len(_TEVAL_CACHE) > 8192:
+            _TEVAL_CACHE.clear()
+        got = MLPoly(ints=table_vec(spec)).evaluate(list(r))
+        _TEVAL_CACHE[key] = got
+    return got
+
+
 class AddressReadCheckVerifier(SumcheckInstanceVerifier):
     def __init__(self, poly_id: CommittedPoly, sumcheck_id: SumcheckId,
                  table_spec, r_cycle: list[Fr], claim: Fr,
@@ -221,7 +239,7 @@ class AddressReadCheckVerifier(SumcheckInstanceVerifier):
         return self.claim
 
     def expected_output_claim(self, accumulator, r: list[Fr]) -> Fr:
-        g_eval = MLPoly(ints=table_vec(self.table_spec)).evaluate(list(r))
+        g_eval = _table_mle_eval(self.table_spec, r)
         ra_claim = accumulator.claim_of(
             OpeningId.committed(self.poly_id, self.sumcheck_id))
         return g_eval * ra_claim

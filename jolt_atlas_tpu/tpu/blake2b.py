@@ -72,11 +72,13 @@ def _rotr64(a, n):
     return ((hi >> n) | (lo << (32 - n)), (lo >> n) | (hi << (32 - n)))
 
 
-def compress(h, m, t: int):
-    """One BLAKE2b compression of the final (only) block.
+def compress(h, m, t: int, final: bool = True):
+    """One BLAKE2b compression.
 
     h: list of 8 (lo, hi) u32 pairs; m: list of 16 pairs; t: static byte
-    count. Returns the new h as 8 pairs. Pure jnp ops — call inside jit.
+    count. `final` sets the last-block flag (multi-block messages pass
+    False for all but the last). Returns the new h as 8 pairs. Pure jnp
+    ops — call inside jit.
     """
     import jax.numpy as jnp
 
@@ -85,8 +87,9 @@ def compress(h, m, t: int):
         for i in range(8)
     ]
     v[12] = _xor64(v[12], (jnp.uint32(t & 0xFFFFFFFF), jnp.uint32(t >> 32)))
-    # final-block flag: v14 ^= ~0
-    v[14] = (~v[14][0], ~v[14][1])
+    if final:
+        # final-block flag: v14 ^= ~0
+        v[14] = (~v[14][0], ~v[14][1])
 
     def G(a, b, c, d, x, y):
         a = _add64(_add64(a, b), x)
@@ -143,6 +146,34 @@ def transcript_absorb(state, n_rounds, payload):
         for i in range(8)
     ]
     out = compress(h, m, 96)
+    return out[:4]
+
+
+def transcript_absorb_long(state, n_rounds, payload):
+    """Absorb a payload longer than one block's tail: BLAKE2b-256(state ||
+    28*0 || n_rounds_be || payload bytes). payload: list of (lo, hi) u32
+    pairs (8 bytes each). Used for the batched UniPoly absorb (8-byte
+    framing + all coefficients in ONE transcript update,
+    poly/unipoly.py append_to_transcript)."""
+    import jax.numpy as jnp
+
+    zero = jnp.uint32(0)
+    total = 64 + 8 * len(payload)
+    m = list(state)
+    m += [(zero, zero)] * 3
+    m += [(zero, bswap32(n_rounds))]
+    m += list(payload)
+    h = [
+        (jnp.uint32(H0_U32[2 * i]), jnp.uint32(H0_U32[2 * i + 1]))
+        for i in range(8)
+    ]
+    consumed = 0
+    while len(m) > 16:
+        consumed += 128  # t = cumulative bytes after this block
+        h = compress(h, m[:16], consumed, final=False)
+        m = m[16:]
+    pad = [(zero, zero)] * (16 - len(m))
+    out = compress(h, m + pad, total)
     return out[:4]
 
 

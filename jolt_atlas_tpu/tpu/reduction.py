@@ -189,10 +189,6 @@ def _bind_kernel(Nout: int, Nin: int, Ninit: int):
     return jax.jit(run)
 
 
-def _marker_payload(msg: bytes) -> np.ndarray:
-    """32-byte-padded transcript message -> (8,) u32 LE words."""
-    return np.frombuffer(msg.ljust(32, b"\x00"), dtype="<u4").copy()
-
 
 @functools.lru_cache(maxsize=None)
 def _tail_kernel(Ipad: int):
@@ -213,8 +209,9 @@ def _tail_kernel(Ipad: int):
     two16_m = _const_planes((1 << 16) * R % P)
     two32_m = _const_planes((1 << 32) * R % P)
     two128r = _const_planes(pow(2, 384, P))            # raw 2^384 mod p
-    begin_pl = _marker_payload(b"UniPoly_begin")
-    end_pl = _marker_payload(b"UniPoly_end")
+    # batched-absorb framing (poly/unipoly.py append_to_transcript):
+    # one update of b"UniPoly\x01" + coeff bytes
+    frame_pl = np.frombuffer(b"UniPoly\x01", dtype="<u4").copy()
 
     def lane_sum(x):
         # (16, Ipad) field elements -> (16, 1) sum by halving tree
@@ -264,11 +261,10 @@ def _tail_kernel(Ipad: int):
 
         st = [(state[0], state[1]), (state[2], state[3]),
               (state[4], state[5]), (state[6], state[7])]
-        st = B.transcript_absorb(st, n_rounds, np_payload(begin_pl))
-        st = B.transcript_absorb(st, n_rounds + 1, canonical_payload(b0))
-        st = B.transcript_absorb(st, n_rounds + 2, canonical_payload(b2))
-        st = B.transcript_absorb(st, n_rounds + 3, np_payload(end_pl))
-        dig = B.transcript_squeeze(st, n_rounds + 4)
+        payload = ([(jnp.uint32(frame_pl[0]), jnp.uint32(frame_pl[1]))]
+                   + canonical_payload(b0) + canonical_payload(b2))
+        st = B.transcript_absorb_long(st, n_rounds, payload)
+        dig = B.transcript_squeeze(st, n_rounds + 1)
 
         # 125-bit optimized challenge: u128 LE of digest bytes 0..15,
         # masked, then * 2^-128 (Montgomery planes via one mul by 2^384)
@@ -288,7 +284,7 @@ def _tail_kernel(Ipad: int):
         Qn = jnp.where(jm, q_at_c, Qinit)
         esn = jnp.where(jm, FR.mul(es, l_at_c), es)
         new_state = jnp.stack([x for pair in dig for x in pair])
-        return new_state, n_rounds + 5, Qn, esn, c, b0, b2
+        return new_state, n_rounds + 2, Qn, esn, c, b0, b2
 
     return jax.jit(run)
 

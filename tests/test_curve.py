@@ -109,3 +109,31 @@ class TestPairing:
         # e(2P, Q) * e(-P, 2Q) == 1  since e(2P,Q) = e(P,Q)^2 = e(P,2Q)
         assert pairing_check([(p * 2, q), (-(p), q * 2)])
         assert not pairing_check([(p, q), (p, q)])
+
+
+def test_native_pairing_matches_python_oracle():
+    """csrc bn_pairing_product == the Python flat-FQ12 pairing, full
+    coefficient match on a nontrivial product, plus bilinearity checks."""
+    from jolt_atlas_tpu.curve import native
+    if native._load() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    from jolt_atlas_tpu.curve.points import g1_generator, g2_generator
+    import importlib
+    pr = importlib.import_module("jolt_atlas_tpu.curve.pairing")
+
+    g, h = g1_generator(), g2_generator()
+    a, b = 0x1234567, 0x89ABCD
+    P1, Q1 = g * a, h * b
+    # bilinearity: e(aG, bH) e(-abG, H) == 1 through the native path
+    assert pr._pairing_product_native([(P1, Q1), (-(g * (a * b)), h)])[0] == 1
+    # tampered: e(aG, bH) e(-(ab+1)G, H) != 1
+    res = pr._pairing_product_native([(P1, Q1), (-(g * (a * b + 1)), h)])
+    assert not (res[0] == 1 and all(c == 0 for c in res[1:]))
+    # full Fq12 coefficient match vs the Python construction
+    py = (pr.miller_loop(pr.twist(Q1), pr._g1_to_fq12(P1))
+          * pr.miller_loop(pr.twist(h), pr._g1_to_fq12(g))) ** pr._FINAL_EXP
+    assert list(py.c) == pr._pairing_product_native([(P1, Q1), (g, h)])
+    # infinity pairs are skipped
+    from jolt_atlas_tpu.curve.points import G1
+    assert pr.pairing_check([(G1.identity(), h)])
