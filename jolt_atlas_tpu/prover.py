@@ -145,13 +145,18 @@ class AtlasProver:
                     # the link calibration clears it (tpu/msm.py), else the
                     # host batch-affine engine
                     dev = self.pp.srs.device_bases()
+                    pts = None
                     if dev is not None:
                         from .curve.native import pack_scalars
+                        from .tpu.msm import _GridSkewError
                         packed = [pack_scalars(poly_map[p].ints)
                                   for p in dn_pids]
-                        pts = dev.msm_batch_packed(
-                            packed, [len(poly_map[p]) for p in dn_pids])
-                    else:
+                        try:
+                            pts = dev.msm_batch_packed(
+                                packed, [len(poly_map[p]) for p in dn_pids])
+                        except _GridSkewError:
+                            pts = None  # low-entropy window: host path
+                    if pts is None:
                         pts = prep.msm_batch(
                             [poly_map[p].ints for p in dn_pids])
                     commitments.update(zip(dn_pids, pts))

@@ -114,7 +114,11 @@ def get(jax, FR) -> dict | None:
     try:
         with open(path) as f:
             data = json.load(f)
-        if data.get("backend") == backend:
+        # a persisted calibration describes a *link*, not the machine —
+        # tunneled runtimes change bandwidth run to run (observed: down
+        # 0.0 MB/s one session, 30 MB/s the next). Expire after 12 h.
+        if (data.get("backend") == backend
+                and time.time() - data.get("ts", 0) < 12 * 3600):
             _CACHED = data
             return data
     except (OSError, ValueError):
@@ -143,7 +147,10 @@ def cached_nonviable() -> bool:
     relay handshake) entirely on machines known to have a slow link."""
     try:
         with open(_cal_path()) as f:
-            return not _clears(json.load(f))
+            data = json.load(f)
+        if time.time() - data.get("ts", 0) >= 12 * 3600:
+            return False  # stale: re-measure before deciding
+        return not _clears(data)
     except (OSError, ValueError, KeyError):
         return False
 

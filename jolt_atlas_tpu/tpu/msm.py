@@ -34,6 +34,14 @@ import numpy as np
 
 from ..field.constants import FQ_MODULUS
 
+class _GridSkewError(RuntimeError):
+    """Raised when a digit grid would be pathologically deep (low-entropy
+    window); callers fall back to the host Pippenger."""
+
+    def __init__(self, depth: int, lanes: int):
+        super().__init__(f"grid depth {depth} over {lanes} lanes")
+
+
 # route to device only when the add-count amortizes dispatch + transfer
 _DEVICE_MIN_N = 1 << 15
 _WINDOW_C = 12
@@ -96,6 +104,15 @@ def _grid(digits: np.ndarray, c: int) -> np.ndarray:
     lane, pt = lane[order], pt[order]
     counts = np.bincount(lane, minlength=W * B)
     M = int(counts.max()) if len(lane) else 0
+    avg = max(1, len(lane) // (W * B))
+    if M > max(64, 16 * avg):
+        # top-window skew: full-width scalars leave the last window only
+        # maxbits - (W-1)*c bits of entropy, so one bucket can swallow
+        # ~n/2 points and the dense grid explodes (observed 11.8 GB at
+        # 2^16 254-bit scalars). The host engine handles this case with a
+        # dense per-digit path (csrc/msm.cpp); here we refuse and let the
+        # caller fall back to it.
+        raise _GridSkewError(M, W * B)
     M = max(_BLK, -(-M // _BLK) * _BLK)
     offsets = np.zeros(W * B, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
