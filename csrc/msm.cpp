@@ -240,11 +240,6 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
       double cost=(double)((maxbits+cc-1)/cc)*((double)n+2.0*(1<<cc));
       if(cost<best){ best=cost; c=cc; }
     }
-    // The batch-affine epoch scheme rescans its pending list once per
-    // collision layer, so cost grows ~quadratically in bucket occupancy
-    // (measured: 2^18 points at c=13 -> 95k pts/s vs c=16 -> 489k).
-    // Keep expected occupancy n/2^c <= 8.
-    while(c<16 && (n>>c)>8) c++;
   }
   int windows=(maxbits+c-1)/c;
   int nbuckets=(1<<c)-1;
@@ -270,11 +265,9 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
     // take the dense path below: per-digit sequential Jacobian chains.
     int wbits = (w==windows-1) ? maxbits - w*c : c;
     if(wbits<1) wbits=1;
-    int64_t occ = n >> wbits;
     std::vector<Fp> bx(nbuckets), by(nbuckets);
     std::vector<uint8_t> bfull(nbuckets, 0);
-    std::vector<uint32_t> used(nbuckets, 0);
-    std::vector<int64_t> pend, nextp;
+    std::vector<int64_t> pend;
     pend.reserve(n);
     int bitpos=w*c;
     // word-based digit extraction (the per-bit loop cost ~0.2 s/MSM at 2^17)
@@ -294,7 +287,7 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
         if(digit) pend.push_back(((int64_t)digit<<40)|i);
       }
     }
-    if(occ > 64){
+    if(wbits <= 6){
       // dense path: one Jacobian accumulator per digit value, a single
       // sequential pass (no inversions, no rescans), then the usual
       // running-sum bucket combine
@@ -315,26 +308,47 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
       window_sums[w]=acc;
       continue;
     }
+    // Counting-sort points by bucket, then process one "layer" per
+    // epoch: epoch e adds each bucket's e-th point, so buckets within a
+    // batch are distinct BY CONSTRUCTION (one shared batch inversion, no
+    // pending-list rescans — the old rescan scheme was quadratic in
+    // bucket occupancy: 65k rescans / ~10 s on a 2^17 MSM's top window).
+    int64_t m_all=(int64_t)pend.size();
+    std::vector<int64_t> cnt(nbuckets+1,0), start(nbuckets+1,0);
+    for(int64_t pi=0;pi<m_all;pi++) cnt[(pend[pi]>>40)-1]++;
+    for(int64_t b=1;b<=nbuckets;b++) start[b]=start[b-1]+cnt[b-1];
+    std::vector<int64_t> fill(start.begin(), start.end());
+    std::vector<int64_t> sorted_i(m_all);
+    for(int64_t pi=0;pi<m_all;pi++){
+      int64_t e=pend[pi];
+      sorted_i[fill[(e>>40)-1]++]=e&0xFFFFFFFFFFLL;
+    }
+    pend.clear(); pend.shrink_to_fit();
+    std::vector<std::pair<int64_t,int32_t>> groups;
+    for(int64_t b=0;b<nbuckets;b++)
+      if(cnt[b]) groups.push_back({cnt[b],(int32_t)b});
+    std::sort(groups.begin(), groups.end(),
+              [](const std::pair<int64_t,int32_t>&a,
+                 const std::pair<int64_t,int32_t>&b){return a.first>b.first;});
     std::vector<int32_t> batch_b; std::vector<int64_t> batch_i;
     std::vector<uint8_t> batch_dbl;
     std::vector<Fp> dens, prefix;
-    uint32_t epoch=1;
-    while(!pend.empty()){
-      nextp.clear(); batch_b.clear(); batch_i.clear(); batch_dbl.clear();
-      dens.clear();
-      const size_t PF=12;  // prefetch distance: gathers are the bottleneck
-      for(size_t pi=0;pi<pend.size();pi++){
-        if(pi+PF<pend.size()){
-          int64_t ef=pend[pi+PF];
-          __builtin_prefetch(&P[2*(ef&0xFFFFFFFFFFLL)]);
-          __builtin_prefetch(&bx[(int)(ef>>40)-1]);
-          __builtin_prefetch(&by[(int)(ef>>40)-1]);
+    int64_t active=(int64_t)groups.size();
+    for(int64_t ep=0; ; ep++){
+      while(active>0 && groups[active-1].first<=ep) active--;
+      if(active==0) break;
+      batch_b.clear(); batch_i.clear(); batch_dbl.clear(); dens.clear();
+      const int64_t PF=12;  // prefetch distance: gathers are the bottleneck
+      for(int64_t g=0;g<active;g++){
+        if(g+PF<active){
+          int32_t bf=groups[g+PF].second;
+          int64_t jf=sorted_i[start[bf]+ep];
+          __builtin_prefetch(&P[2*jf]);
+          __builtin_prefetch(&bx[bf]);
+          __builtin_prefetch(&by[bf]);
         }
-        int64_t e=pend[pi];
-        int b=(int)(e>>40)-1;
-        int64_t i=e&0xFFFFFFFFFFLL;
-        if(used[b]==epoch){ nextp.push_back(e); continue; }
-        used[b]=epoch;
+        int b=groups[g].second;
+        int64_t i=sorted_i[start[b]+ep];
         if(!bfull[b]){ bx[b]=PXI(i); by[b]=PYI(i); bfull[b]=1; continue; }
         if(eq_fp(bx[b],PXI(i))){
           if(eq_fp(by[b],PYI(i))){      // doubling: lambda = 3x^2 / 2y
@@ -410,8 +424,6 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
           bx[b]=x3; by[b]=y3;
         }
       }
-      pend.swap(nextp);
-      epoch++;
     }
     Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
     for(int b=nbuckets-1;b>=0;b--){
@@ -470,38 +482,78 @@ void g1_scalar_muls(const uint8_t* base, const uint8_t* scalars, int64_t n,
       qm2.v[i]=(u64)d; borrow=(d>>64)&1;
     } }
   Fp one={{1,0,0,0}};
-  // fixed-base window table: T[w][d-1] = d * 16^w * base, so each scalar
-  // multiplication is just 64 table adds with no doublings.
-  static const int WC=64, WD=15;
-  std::vector<Pt> table((size_t)WC*WD);
+  // fixed-base window table, 8-bit windows: T[w][d-1] = d * 256^w * base.
+  // Rows are batch-normalized to affine so the per-scalar loop runs 32
+  // MIXED adds (11 muls) instead of 64 full Jacobian adds; final affine
+  // conversions share one inversion per block (Montgomery's trick) —
+  // the per-point mont_pow was ~27% of SRS generation.
+  static const int WC=32, WD=255;
+  std::vector<Fp> tx((size_t)WC*WD), ty((size_t)WC*WD);
   {
+    std::vector<Pt> table((size_t)WC*WD);
     Pt p0; p0.X=mx; p0.Y=my; p0.Z=R1;
     for(int w=0;w<WC;w++){
       Pt* row=&table[(size_t)w*WD];
       row[0]=p0;
       for(int d=1;d<WD;d++) pt_add(row[d],row[d-1],p0);
-      if(w+1<WC){ for(int k=0;k<4;k++) pt_double(p0,p0); }
+      if(w+1<WC){ for(int k=0;k<8;k++) pt_double(p0,p0); }
+    }
+    // batch-normalize the whole table to affine
+    size_t m=table.size();
+    std::vector<Fp> pre(m);
+    Fp acc=R1;
+    for(size_t k=0;k<m;k++){ pre[k]=acc; mont_mul(acc,acc,table[k].Z); }
+    Fp inv; mont_pow(inv,acc,qm2);
+    for(size_t k=m;k-- > 0;){
+      Fp zi; mont_mul(zi,inv,pre[k]);
+      mont_mul(inv,inv,table[k].Z);
+      Fp z2; mont_sqr(z2,zi);
+      Fp z3; mont_mul(z3,z2,zi);
+      mont_mul(tx[k],table[k].X,z2);
+      mont_mul(ty[k],table[k].Y,z3);
     }
   }
-  #pragma omp parallel for schedule(dynamic,16)
-  for(int64_t i=0;i<n;i++){
-    const uint8_t* s=scalars+i*32;
-    Pt acc; pt_set_inf(acc);
-    for(int w=0;w<WC;w++){
-      uint32_t digit=(s[w/2]>>((w&1)*4))&0xF;
-      if(digit) pt_add(acc,acc,table[(size_t)w*WD+digit-1]);
+  static const int64_t BLK=256;
+  #pragma omp parallel
+  {
+    std::vector<Pt> accs(BLK);
+    std::vector<Fp> pre(BLK);
+    #pragma omp for schedule(dynamic)
+    for(int64_t b0=0;b0<n;b0+=BLK){
+      int64_t bn = (b0+BLK<=n) ? BLK : (n-b0);
+      for(int64_t k=0;k<bn;k++){
+        const uint8_t* s=scalars+(b0+k)*32;
+        Pt acc; pt_set_inf(acc);
+        for(int w=0;w<WC;w++){
+          uint32_t digit=s[w];
+          if(digit) pt_add_affine(acc,acc,tx[(size_t)w*WD+digit-1],
+                                  ty[(size_t)w*WD+digit-1]);
+        }
+        accs[k]=acc;
+      }
+      // block batch inversion of the Z coordinates (infinity -> Z=0 is
+      // replaced by 1 in the chain and emitted as the zero encoding)
+      Fp chain=R1;
+      for(int64_t k=0;k<bn;k++){
+        pre[k]=chain;
+        if(!pt_is_inf(accs[k])) mont_mul(chain,chain,accs[k].Z);
+      }
+      Fp inv; mont_pow(inv,chain,qm2);
+      for(int64_t k=bn;k-- > 0;){
+        if(pt_is_inf(accs[k])){ memset(out+(b0+k)*64,0,64); continue; }
+        Fp zi; mont_mul(zi,inv,pre[k]);
+        mont_mul(inv,inv,accs[k].Z);
+        Fp z2; mont_sqr(z2,zi);
+        Fp z3; mont_mul(z3,z2,zi);
+        Fp ax,ay;
+        mont_mul(ax,accs[k].X,z2);
+        mont_mul(ay,accs[k].Y,z3);
+        mont_mul(ax,ax,one);
+        mont_mul(ay,ay,one);
+        memcpy(out+(b0+k)*64, ax.v, 32);
+        memcpy(out+(b0+k)*64+32, ay.v, 32);
+      }
     }
-    if(pt_is_inf(acc)){ memset(out+i*64,0,64); continue; }
-    Fp zinv; mont_pow(zinv,acc.Z,qm2);
-    Fp z2; mont_sqr(z2,zinv);
-    Fp z3; mont_mul(z3,z2,zinv);
-    Fp ax,ay;
-    mont_mul(ax,acc.X,z2);
-    mont_mul(ay,acc.Y,z3);
-    mont_mul(ax,ax,one);
-    mont_mul(ay,ay,one);
-    memcpy(out+i*64, ax.v, 32);
-    memcpy(out+i*64+32, ay.v, 32);
   }
 }
 

@@ -84,3 +84,56 @@ class HyperKZGScheme(CommitmentScheme):
                proof: HyperKZGProof, transcript) -> bool:
         return HyperKZG.verify(srs, commitment, point, claim, proof,
                                transcript)
+
+
+class StreamingCommitter:
+    """Two-tier chunked commitment (reference StreamingCommitmentScheme,
+    joltworks/src/poly/commitment/commitment_scheme.rs:133): coefficients
+    stream through `process()` in order, each chunk is committed against
+    its own SRS base window, and partial commitments combine additively —
+    so a witness larger than host memory never needs to be resident.
+
+        sc = StreamingCommitter(srs)
+        for chunk in produce_witness_chunks():   # np int arrays / FrArray
+            sc.process(chunk)
+        commitment = sc.finalize()               # == one-shot kzg_commit
+    """
+
+    def __init__(self, srs: KZGSRS):
+        self.srs = srs
+        self._prep = srs.prepared_bases()
+        self._off = 0
+        self._acc = G1.identity()
+        self._tail = []  # python fallback when the native engine is absent
+
+    def process(self, chunk) -> None:
+        import numpy as np
+        from ..curve.native import pack_scalars
+        from ..field.frvec import FrArray
+        if isinstance(chunk, FrArray):
+            packed, count = chunk.canonical().tobytes(), len(chunk)
+        elif isinstance(chunk, np.ndarray):
+            packed, count = pack_scalars(chunk), chunk.size
+        else:
+            packed, count = pack_scalars(list(chunk)), len(list(chunk))
+        if count == 0:
+            return
+        if self._prep is not None:
+            part = self._prep.msm_packed_at(self._off, packed, count)
+            self._acc = self._acc + part
+        else:
+            self._tail.append((self._off, packed, count))
+        self._off += count
+
+    def finalize(self) -> G1:
+        if self._tail:
+            from ..curve.msm import msm
+            from ..field.constants import FR_MODULUS
+            for off, packed, count in self._tail:
+                scalars = [int.from_bytes(packed[i * 32:(i + 1) * 32],
+                                          "little") % FR_MODULUS
+                           for i in range(count)]
+                self._acc = self._acc + msm(
+                    self.srs.g1_powers[off: off + count], scalars)
+            self._tail = []
+        return self._acc

@@ -156,6 +156,21 @@ class PreparedBases:
             return G1.identity()
         return self.msm_packed(pack_scalars(scalars[:count]), count, c)
 
+    def msm_packed_at(self, offset: int, scalar_bytes: bytes,
+                      count: int, c: int = 0) -> G1:
+        """MSM against bases[offset : offset+count] — the streaming-commit
+        primitive (each chunk lands on its own base window)."""
+        lib = _load()
+        count = min(count, self.n - offset)
+        if count <= 0:
+            return G1.identity()
+        out_buf = ctypes.create_string_buffer(64)
+        inf_buf = ctypes.create_string_buffer(1)
+        base_ptr = ctypes.cast(ctypes.byref(self.buf, offset * 64),
+                               ctypes.c_char_p)
+        lib.msm_g1_pre(base_ptr, scalar_bytes, count, c, out_buf, inf_buf)
+        return _decode_point(out_buf, inf_buf)
+
     def msm_batch(self, scalar_arrays: list) -> list[G1]:
         """Independent MSMs against shared bases, OpenMP across MSMs."""
         return self.msm_batch_packed([pack_scalars(s) for s in scalar_arrays])

@@ -11,8 +11,9 @@ Two interchangeable representations of a vector of Fr elements:
     the correctness oracle in tests.
 
 The v* functions below dispatch on representation, so protocol code is
-agnostic. `device` batches additionally offload to the TPU limb backend
-(field/jaxfr.py) for jit-compiled bulk kernels.
+agnostic. Hot paths use the native FrArray kernels (field/frvec.py); the
+object-int form here is the fallback + test oracle. Device offload lives
+in tpu/ (reduction, msm) and parallel/ (mesh engines), not in this module.
 """
 
 from __future__ import annotations

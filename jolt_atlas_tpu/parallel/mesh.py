@@ -105,19 +105,48 @@ def dryrun_proving_step(n_devices: int, log_t: int = 6, seed: int = 0):
     from .. import serde
     from .shardedreduction import mesh_scope
 
+    # one-block transformer: gather embedding, self-attention + softmax,
+    # tanh (teleport) MLP, residuals, LM head — so the mesh engines see
+    # every instance population of a real model (softmax stages, gather,
+    # teleport, einsum contraction, clamp chunk families)
     nrng = np.random.default_rng(seed + 7)
+    seq, dim, vocab = 16, 16, 32
     b = ModelBuilder(scale=8)
-    x = b.input((1, 32))
-    w1 = b.constant(quantize_tensor(nrng.standard_normal((32, 32)), 8))
-    w2 = b.constant(quantize_tensor(nrng.standard_normal((32, 16)), 8))
-    b.output(b.einsum("bi,ij->bj", [b.relu(b.einsum("bi,ij->bj", [x, w1])),
-                                    w2]))
+    idx = b.input((seq,))
+    emb = b.constant(quantize_tensor(nrng.standard_normal((vocab, dim)), 8))
+    x = b.gather(emb, idx)
+    wq, wk, wv, wf = (b.constant(quantize_tensor(
+        nrng.standard_normal((dim, dim)) * 0.4, 8)) for _ in range(4))
+    q = b.einsum("mk,kn->mn", [x, wq])
+    k = b.einsum("mk,kn->mn", [x, wk])
+    v = b.einsum("mk,kn->mn", [x, wv])
+    att = b.softmax_last_axis(b.einsum("mk,nk->mn", [q, k]))
+    res1 = b.add(x, b.einsum("mk,kn->mn", [att, v]))
+    res2 = b.add(res1, b.tanh(b.einsum("mk,kn->mn", [res1, wf])))
+    wl = b.constant(quantize_tensor(
+        nrng.standard_normal((dim, vocab)) * 0.4, 8))
+    b.output(b.einsum("mk,kn->mn", [res2, wl]))
     model = b.build()
-    xq = quantize_tensor(nrng.standard_normal((1, 32)), 8)
+    xq = nrng.integers(0, vocab, size=seq).astype(np.int32)
     pp = AtlasPreprocessing.preprocess(model)
     proof_host, _ = AtlasProver(pp).prove([xq])
-    with mesh_scope(mesh):
-        proof_mesh, io = AtlasProver(pp).prove([xq])
+    from . import shardedrows
+    engaged = []
+    orig_setup = shardedrows.try_setup
+
+    def _spy(mlpolys, terms, degree):
+        res = orig_setup(mlpolys, terms, degree)
+        if res is not None:
+            engaged.append(len(mlpolys[0]))
+        return res
+
+    shardedrows.try_setup = _spy
+    try:
+        with mesh_scope(mesh):
+            proof_mesh, io = AtlasProver(pp).prove([xq])
+    finally:
+        shardedrows.try_setup = orig_setup
+    assert engaged, "mesh IOP rows engine did not engage"
     assert serde.serialize_proof(proof_mesh) == \
         serde.serialize_proof(proof_host), \
         "mesh proof bytes diverge from single-device proof"

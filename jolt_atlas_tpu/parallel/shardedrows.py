@@ -1,0 +1,284 @@
+"""Mesh-sharded Gruen rows engine for the per-node IOP sumchecks.
+
+Extends the cyclic-placement layout of parallel/shardedreduction.py from
+the (single-row) batch opening reduction to EVERY dense RowsInstance in
+the IOP — cycle-execution, einsum contraction, read-check and booleanity
+phase-2 instances (zkops/framework.py, zkops/ops.py). This is the
+TPU-native analogue of the reference's rayon parallelism inside each
+sumcheck round loop (SURVEY §2.5; joltworks/src/subprotocols/
+sumcheck.rs par_iter over hypercube halves): the cycle dimension is
+sharded over the mesh's 'sp' axis, and the only cross-chip traffic per
+round is one psum of the (deg+1) message coefficients' limb columns.
+
+Layout (identical to shardedreduction): a (16, P, n/D, D) planes tensor
+with PartitionSpec (None, None, None, 'sp') IS the cyclic (mod-D)
+placement; HighToLow binding pairs global indices (j, j + n/2), which
+share a device while n >= 2D, so binding stays shard-local. At n == D
+the remaining P*D coefficients are fetched and the instance resumes on
+the host C++ GruenInstance — round messages, and therefore proof bytes,
+are identical to the single-device path (tests/test_multichip.py).
+
+Engagement: `shardedreduction.mesh_scope(mesh)` activates both engines;
+`RowsInstance.setup_rows` routes any dense-field-rows instance with
+n >= 4D here (subprotocols/sumcheck.py). Sparse instances (booleanity
+phase 1) and tiny address-check instances stay on the host.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..field.scalar import Fr
+from .shardedreduction import active_mesh, _ctx, _psum_planes
+
+_KERNEL_CACHE: dict = {}
+
+# static kernel-shape cap: one jit(shard_map) compiles per (P, term
+# structure, nevals, weight arity, array shape) — ~20 s each on the
+# virtual CPU validation mesh — so engagement is bounded to the low-P
+# instance classes that hold the work (einsum contraction, cycle
+# execution); raise for real multi-chip hardware.
+MAX_P = int(os.environ.get("JOLT_ATLAS_MESH_MAX_P", "3"))
+
+
+def _terms_key(terms) -> tuple:
+    return tuple((None, tuple(f)) for _, f in terms)
+
+
+def _points_kernel(mesh, ndev: int, P: int, tkey: tuple, nevals: int,
+                   nw: int):
+    """jit(shard_map(...)): all `nevals` weighted round-message evals of a
+    cyclically sharded P-row term product, psum'd over 'sp'.
+
+    Inputs: x (16, P, n/D, D); coeffs (16, nterms) replicated; per weight
+    factor a replicated table (16, W) and a sharded (h/D, D) index grid.
+    Output: (nevals, 16) canonical planes (replicated).
+    """
+    key = ("pts", id(mesh), ndev, P, tkey, nevals, nw)
+    got = _KERNEL_CACHE.get(key)
+    if got is not None:
+        return got
+    import jax
+    from jax.sharding import PartitionSpec as PS
+    from jax.experimental.shard_map import shard_map
+    jx, FR = _ctx()
+    jnp = jx.numpy
+
+    def kern(x, coeffs, *wargs):
+        half = x.shape[2] // 2
+        lo = x[:, :, :half]
+        hi = x[:, :, half:]
+        diff = FR.sub(hi, lo)
+        w = None
+        for i in range(nw):
+            tab, idx = wargs[i], wargs[nw + i]
+            wi = jnp.take(tab, idx, axis=1)          # (16, h/D, D_local)
+            w = wi if w is None else FR.mul(w, wi)
+        outs = []
+        # eval points t = 0, 2, 3, ..., nevals (q(1) comes from the claim)
+        ev = lo                                       # t = 0
+        t_prev = 0
+        for t in [0] + list(range(2, nevals + 1)):
+            for _ in range(t - t_prev):
+                ev = FR.add(ev, diff)
+            t_prev = t
+            acc = None
+            for k, (_, fidx) in enumerate(tkey):
+                if fidx:
+                    prod = ev[:, fidx[0]]
+                    for i in fidx[1:]:
+                        prod = FR.mul(prod, ev[:, i])
+                else:
+                    prod = jnp.broadcast_to(coeffs[:, k:k + 1, None],
+                                            ev[:, 0].shape)
+                term = (FR.mul(prod, coeffs[:, k:k + 1, None])
+                        if fidx else prod)
+                acc = term if acc is None else FR.add(acc, term)
+            p = acc if w is None else FR.mul(acc, w)
+            while p.shape[1] > 1:
+                k2 = p.shape[1] // 2
+                p = FR.add(p[:, :k2], p[:, k2:])
+            outs.append(_psum_planes(p[:, 0, 0], "sp", ndev, FR, jnp))
+        return jnp.stack(outs)
+
+    in_specs = ((PS(None, None, None, "sp"), PS(None, None))
+                + tuple(PS(None, None) for _ in range(nw))
+                + tuple(PS(None, "sp") for _ in range(nw)))
+    fn = jax.jit(shard_map(kern, mesh=mesh, in_specs=in_specs,
+                           out_specs=PS(None, None), check_rep=False))
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def _bind_kernel(mesh, P: int):
+    key = ("bindP", id(mesh), P)
+    got = _KERNEL_CACHE.get(key)
+    if got is not None:
+        return got
+    import jax
+    from jax.sharding import PartitionSpec as PS
+    from jax.experimental.shard_map import shard_map
+    jx, FR = _ctx()
+
+    def kern(x, cc):
+        half = x.shape[2] // 2
+        lo, hi = x[:, :, :half], x[:, :, half:]
+        return FR.add(lo, FR.mul(FR.sub(hi, lo), cc))
+
+    fn = jax.jit(shard_map(
+        kern, mesh=mesh,
+        in_specs=(PS(None, None, None, "sp"), PS(None, None, None, None)),
+        out_specs=PS(None, None, None, "sp"), check_rep=False))
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+class MeshGruen:
+    """Drop-in for frvec.GruenInstance with mesh-sharded rows.
+
+    Same interface consumed by RowsInstance._gruen_message/rows_bind:
+    round_points(nevals, whi, whi_shift, wlo, log_wlo), bind(r),
+    row_value(i).
+
+    Each (row count, term structure, array shape) combination jit-compiles
+    once, and binding halves the shape — so the engine runs a bounded
+    number of HEAD rounds on the mesh (JOLT_ATLAS_MESH_HEAD_ROUNDS,
+    default 2: the rounds holding ~94% of the instance's work) and hands
+    the remainder to the host C++ engine, keeping compile count
+    ~2 kernels per instance structure.
+    """
+
+    HEAD_ROUNDS = int(os.environ.get("JOLT_ATLAS_MESH_HEAD_ROUNDS", "2"))
+
+    def __init__(self, mesh, rows, terms, degree: int):
+        from ..tpu.reduction import _u64_to_planes
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        jx, FR = _ctx()
+        jnp = jx.numpy
+
+        self.mesh = mesh
+        self.ndev = mesh.shape["sp"]
+        self.terms = terms
+        self.degree = degree
+        self.P = len(rows)
+        self.n = len(rows[0])
+        self._host = None
+        self._coeffs = jnp.asarray(np.stack(
+            [_u64_to_planes(np.asarray(
+                _fr_limbs(c)).reshape(1, 4))[:, 0] for c, _ in terms],
+            axis=1))
+        planes = np.stack(
+            [_u64_to_planes(np.asarray(rw.d).reshape(-1, 4)) for rw in rows],
+            axis=1)                                   # (16, P, n)
+        planes = planes.reshape(16, self.P, self.n // self.ndev, self.ndev)
+        self.x = jax.device_put(
+            planes, NamedSharding(mesh, PS(None, None, None, "sp")))
+        self._rounds_left = self.HEAD_ROUNDS
+
+    # -- handoff -------------------------------------------------------------
+    def _fetch_host(self):
+        if self._host is not None:
+            return
+        from ..field.frvec import FrArray, GruenInstance
+        from ..tpu.reduction import _planes_to_u64
+        flat = np.asarray(self.x).reshape(16, self.P, self.n)
+        rows = [FrArray(np.ascontiguousarray(_planes_to_u64(flat[:, i])))
+                for i in range(self.P)]
+        self._host = GruenInstance(rows, self.terms, self.degree)
+
+    # -- engine interface ------------------------------------------------------
+    def round_points(self, nevals: int, whi, whi_shift: int, wlo,
+                     log_wlo: int) -> list[Fr]:
+        if self._host is not None:
+            return self._host.round_points(nevals, whi, whi_shift, wlo,
+                                           log_wlo)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from ..tpu.reduction import _u64_to_planes
+        jx, FR = _ctx()
+        jnp = jx.numpy
+        D = self.ndev
+        h = self.n // 2
+        j = np.arange(h, dtype=np.int64)
+        # factor inclusion + index masks mirror the host C kernel exactly
+        # (csrc/frvec.cpp frv_gruen_round_p: wlo iff log_wlo >= 0, whi iff
+        # whi_n > 1 with (j >> shift) & (whi_n - 1))
+        pairs = []
+        if whi is not None and len(np.asarray(whi).reshape(-1, 4)) > 1:
+            whi_n = len(np.asarray(whi).reshape(-1, 4))
+            pairs.append((whi,
+                          ((j >> whi_shift) & (whi_n - 1)).astype(np.int32)))
+        if wlo is not None and log_wlo >= 0:
+            pairs.append((wlo,
+                          (j & ((1 << log_wlo) - 1)).astype(np.int32)))
+        tabs, idxs = [], []
+        for tab, idx in pairs:
+            tabs.append(jnp.asarray(_u64_to_planes(
+                np.asarray(tab).reshape(-1, 4))))
+            idxs.append(jax.device_put(
+                idx.reshape(h // D, D),
+                NamedSharding(self.mesh, PS(None, "sp"))))
+        fn = _points_kernel(self.mesh, D, self.P, _terms_key(self.terms),
+                            nevals, len(tabs))
+        out = np.asarray(fn(self.x, self._coeffs, *tabs, *idxs))
+        return [Fr(_ctx()[1].from_planes(out[t].reshape(16, 1))[0])
+                for t in range(nevals)]
+
+    def bind(self, r: Fr) -> None:
+        if self._host is not None:
+            self._host.bind(r)
+            return
+        from ..tpu.reduction import _fr_to_planes
+        jx, FR = _ctx()
+        jnp = jx.numpy
+        c_pl = jnp.asarray(_fr_to_planes([r]))[:, None, :, None]
+        self.x = _bind_kernel(self.mesh, self.P)(self.x, c_pl)
+        self.n //= 2
+        self._rounds_left -= 1
+        if self.n <= self.ndev or self._rounds_left <= 0:
+            self._fetch_host()
+
+    def row_value(self, i: int) -> Fr:
+        if self._host is None:
+            self._fetch_host()
+        return self._host.row_value(i)
+
+
+def _fr_limbs(x: Fr) -> np.ndarray:
+    from ..field import frvec
+    return frvec._fr_limbs_cached(x)
+
+
+def try_setup(mlpolys, terms, degree: int):
+    """MeshGruen for this instance, or None (caller uses the host engine).
+
+    Engages only under an active mesh_scope with rows long enough that the
+    mesh head rounds exist (n >= 4D) and every row is (promotable to) a
+    dense field vector.
+    """
+    mesh = active_mesh()
+    if mesh is None or "sp" not in getattr(mesh, "axis_names", ()):
+        return None
+    ndev = mesh.shape["sp"]
+    if ndev < 2 or ndev & (ndev - 1):
+        return None
+    if not mlpolys or len(mlpolys) > MAX_P:
+        return None
+    n = len(mlpolys[0])
+    min_n = int(os.environ.get("JOLT_ATLAS_MESH_MIN_N", "256"))
+    if n < max(4 * ndev, min_n) or any(len(p) != n for p in mlpolys):
+        return None
+    from ..field.frvec import FrArray
+    try:
+        rows = [p.to_field() for p in mlpolys]
+    except Exception:
+        return None
+    if not all(isinstance(rw, FrArray) for rw in rows):
+        return None
+    try:
+        return MeshGruen(mesh, rows, terms, degree)
+    except Exception:
+        return None

@@ -6,8 +6,10 @@ Mirrors the reference's MultilinearPolynomial enum
 arrays, and are lazily promoted to field vectors on the first challenge
 binding — the reference's CompactPolynomial lazy conversion.
 
-Field vectors use the host object-int representation (field/vec.py); hot
-large-batch paths offload to the TPU limb backend (field/jaxfr.py).
+Field vectors use the native Montgomery-limb FrArray (field/frvec.py)
+with an object-int fallback (field/vec.py); accelerator offload happens in
+the engines that consume MLPolys (tpu/reduction.py, parallel/shardedrows.py),
+not inside this container.
 
 Index convention is big-endian (index bit 0 = MSB = variable 0), matching
 EqPolynomial::evals (eq_poly.rs:62-92). Binding supports both orders

@@ -258,10 +258,6 @@ class ProverOpeningAccumulator:
             if res is None:
                 res = reduction.try_prove(instances, self, transcript)
         if res is None:
-            if zk_mode.gens() is None:
-                # host path (v1 per-round fleet only if explicitly forced)
-                from ..tpu import rowsengine
-                rowsengine.GroupFleet.try_build(instances)
             for inst in instances:
                 inst.setup_sumcheck()
             res = BatchedSumcheck.prove(instances, self, transcript)

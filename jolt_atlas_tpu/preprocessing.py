@@ -7,8 +7,41 @@ carries the model.
 
 from __future__ import annotations
 
+import os
+
 from .commitment.kzg import KZGSRS
 from .frontend.graph import Model
+
+
+def cached_srs(max_vars: int) -> KZGSRS:
+    """Seed-derived SRS with a disk cache (reference SRS save/load,
+    hyperkzg/mod.rs:60-100: production deployments load a ceremony file
+    instead of regenerating; the seed-derived file plays that role here).
+
+    A cached file of >= the requested size is trimmed; a fresh generation
+    is saved for next time. JOLT_ATLAS_SRS_CACHE overrides the directory
+    (empty string disables caching).
+    """
+    base = os.environ.get("JOLT_ATLAS_SRS_CACHE")
+    if base is None:
+        base = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    if not base:
+        return KZGSRS.setup(1 << max_vars)
+    try:
+        os.makedirs(base, exist_ok=True)
+        for v in range(max_vars, max_vars + 7):
+            path = os.path.join(base, f"srs_2e{v}.bin")
+            if os.path.exists(path):
+                srs = KZGSRS.load(path)
+                return srs.trim(1 << max_vars) if v > max_vars else srs
+        srs = KZGSRS.setup(1 << max_vars)
+        tmp = os.path.join(base, f".srs_2e{max_vars}.tmp.{os.getpid()}")
+        srs.save(tmp)
+        os.replace(tmp, os.path.join(base, f"srs_2e{max_vars}.bin"))
+        return srs
+    except OSError:
+        return KZGSRS.setup(1 << max_vars)
 
 
 class AtlasPreprocessing:
@@ -55,5 +88,5 @@ class AtlasPreprocessing:
             from .commitment.dory import DorySetup
             return cls(model, None, pcs="dory",
                        pcs_setup=DorySetup.for_num_vars(max_vars))
-        srs = KZGSRS.setup(1 << max_vars)
+        srs = cached_srs(max_vars)
         return cls(model, srs)

@@ -84,18 +84,22 @@ class RowsInstance:
         self._se = None
         self._rows_round = 0
         self._eq_offset = 0
-        if eq_r is not None and getattr(self, "_fleet", None) is not None:
-            # stacked device lanes (tpu/rowsengine.py); message assembly
-            # below is shared, so proof bytes match the host path exactly
-            from ..tpu.rowsengine import FleetMember
-            from ..poly.spliteq import SplitEq
-            self._se = SplitEq(eq_r, pre_vars=eq_pre, post_vars=eq_post)
-            self._gruen = FleetMember(self, self._se)
-            self._rows_terms = terms
-            self._mlrows = mlpolys
-            return
         native = vec.native_available()
         if eq_r is not None and native and mlpolys:
+            # mesh-sharded head rounds (parallel/shardedrows.py): cycle
+            # dimension cyclically sharded over the 'sp' axis, per-round
+            # message coefficients psum'd; byte-identical messages
+            from ..parallel import shardedrows
+            if shardedrows.active_mesh() is not None:
+                mg = shardedrows.try_setup(mlpolys, terms, degree)
+                if mg is not None:
+                    from ..poly.spliteq import SplitEq
+                    self._gruen = mg
+                    self._se = SplitEq(eq_r, pre_vars=eq_pre,
+                                       post_vars=eq_post)
+                    self._rows_terms = terms
+                    self._mlrows = mlpolys
+                    return
             from ..field.frvec import GruenInstance
             if (len(mlpolys) <= GruenInstance.MAXP
                     and max(1, degree) <= GruenInstance.MAXE):

@@ -1,6 +1,6 @@
 """Host<->device link calibration for the device-path dispatch decision.
 
-The device-resident engines (tpu/reduction.py, tpu/rowsengine.py) are
+The device-resident engines (tpu/reduction.py, tpu/msm.py) are
 bandwidth plays: they move every polynomial element to the accelerator
 (~64 B/elem in limb planes), run the sumcheck head rounds there, and fetch
 the bound rows back. Whether that beats the host C++ kernels depends

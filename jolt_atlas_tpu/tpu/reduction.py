@@ -3,8 +3,8 @@
 The batch opening reduction (poly/opening.py) is a BatchedSumcheck over
 ~10^2 single-row degree-2 Gruen instances — one per distinct opening
 point — whose polynomials total tens of millions of field elements. The
-naive device mapping (one round-eval kernel + one host sync per round,
-tpu/rowsengine.py) loses to the host C++ path because the tunnel to the
+naive device mapping (one round-eval kernel + one host sync per round)
+loses to the host C++ path because the tunnel to the
 accelerator charges ~0.6 s per device->host fetch and the per-round
 Fiat-Shamir challenge forces that fetch. This engine removes the
 round-trips entirely:

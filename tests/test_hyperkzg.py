@@ -91,3 +91,24 @@ class TestHyperKZG:
         back = KZGSRS.deserialize(data)
         assert back.g1_powers == srs.g1_powers
         assert back.g2 == srs.g2 and back.beta_g2 == srs.beta_g2
+
+
+def test_streaming_commit_matches_dense():
+    """StreamingCommitter (reference StreamingCommitmentScheme,
+    commitment_scheme.rs:133) over arbitrary chunk splits == one-shot
+    commit, including a chunk of negatives and an empty chunk."""
+    import numpy as np
+    from jolt_atlas_tpu.commitment.kzg import KZGSRS, kzg_commit
+    from jolt_atlas_tpu.commitment.scheme import StreamingCommitter
+
+    srs = KZGSRS.setup(1 << 10)
+    rng = np.random.default_rng(5)
+    coeffs = rng.integers(-1000, 1000, size=1 << 10).astype(np.int64)
+    dense = kzg_commit(srs, coeffs)
+
+    sc = StreamingCommitter(srs)
+    sc.process(coeffs[:100])
+    sc.process(coeffs[100:100])       # empty
+    sc.process(coeffs[100:777])
+    sc.process(coeffs[777:])
+    assert sc.finalize().serialize() == dense.serialize()

@@ -76,3 +76,64 @@ def test_mesh_engine_engages():
         shardedreduction.try_prove = orig
     assert calls and all(calls), "mesh reduction engine did not engage"
     assert AtlasVerifier(pp).verify(proof, io)
+
+
+def _transformer_block(seq=16, dim=16, vocab=32):
+    """One-block transformer: gather embedding, self-attention with
+    softmax, tanh MLP, residuals, LM head — every instance population the
+    mesh engines see on a real model (softmax stages, gather, teleport)."""
+    b = ModelBuilder(scale=8)
+    idx = b.input((seq,))
+    emb = b.constant(quantize_tensor(rng.standard_normal((vocab, dim)), 8))
+    x = b.gather(emb, idx)
+    wq = b.constant(quantize_tensor(rng.standard_normal((dim, dim)) * 0.4, 8))
+    wk = b.constant(quantize_tensor(rng.standard_normal((dim, dim)) * 0.4, 8))
+    wv = b.constant(quantize_tensor(rng.standard_normal((dim, dim)) * 0.4, 8))
+    q = b.einsum("mk,kn->mn", [x, wq])
+    k = b.einsum("mk,kn->mn", [x, wk])
+    v = b.einsum("mk,kn->mn", [x, wv])
+    att = b.softmax_last_axis(b.einsum("mk,nk->mn", [q, k]))
+    ctx = b.einsum("mk,kn->mn", [att, v])
+    res1 = b.add(x, ctx)
+    wf = b.constant(quantize_tensor(rng.standard_normal((dim, dim)) * 0.4, 8))
+    h = b.tanh(b.einsum("mk,kn->mn", [res1, wf]))
+    res2 = b.add(res1, h)
+    wl = b.constant(quantize_tensor(rng.standard_normal((dim, vocab)) * 0.4, 8))
+    b.output(b.einsum("mk,kn->mn", [res2, wl]))
+    toks = rng.integers(0, vocab, size=seq).astype(np.int32)
+    return b.build(), toks
+
+
+def test_mesh_transformer_block_proof_matches_host():
+    """N-chip == 1-chip bytes on a one-block transformer (softmax, gather,
+    teleport tanh all present), with BOTH mesh engines engaged: the
+    sharded opening reduction AND the sharded IOP rows engine
+    (parallel/shardedrows.py MeshGruen head rounds)."""
+    from jolt_atlas_tpu.parallel import make_mesh, mesh_scope
+    from jolt_atlas_tpu.parallel import shardedrows
+
+    model, toks = _transformer_block()
+    pp = AtlasPreprocessing.preprocess(model)
+    proof_host, _ = AtlasProver(pp).prove([toks])
+
+    engaged = []
+    orig = shardedrows.try_setup
+
+    def spy(mlpolys, terms, degree):
+        res = orig(mlpolys, terms, degree)
+        if res is not None:
+            engaged.append(len(mlpolys[0]))
+        return res
+
+    shardedrows.try_setup = spy
+    try:
+        with mesh_scope(make_mesh(8, dp=1)):
+            proof_mesh, io = AtlasProver(pp).prove([toks])
+    finally:
+        shardedrows.try_setup = orig
+
+    assert engaged, "mesh IOP rows engine did not engage on any instance"
+    assert serde.serialize_proof(proof_mesh) == \
+        serde.serialize_proof(proof_host), \
+        "mesh transformer-block proof bytes diverge from host"
+    assert AtlasVerifier(pp).verify(proof_mesh, io)
