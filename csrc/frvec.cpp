@@ -689,6 +689,103 @@ void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
   for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
 }
 
+// Fused previous-round bind + current-round message eval: ONE streaming
+// pass reads the PRE-bind rows (length n), writes the bound rows (length
+// n/2) into out_rows, and accumulates the weighted message evals of the
+// post-bind round (n/4 pairs). Binding is HighToLow:
+// bound[j] = pre[j] + c (pre[j + n/2] - pre[j]). Replaces the separate
+// frv_bind_rows_p pass per round (measured ~51% of the fused engine's
+// time was bind passes re-streaming arrays the eval pass just touched).
+void frv_gruen_round_bind_p(const u64* const* rows, i64 P, i64 n,
+                            const u64* c_prev, u64* const* out_rows,
+                            int nevals, const u64* coeffs,
+                            const i64* offsets, const i64* fidx, i64 T,
+                            const i64* aux_offsets, const i64* aux_fidx,
+                            i64 A, const u64* whi, i64 whi_n, int whi_shift,
+                            const u64* wlo, int log_wlo, u64* out){
+  i64 nb = n/2, half = n/4;
+  const int MAXE=20, MAXP=96, MAXA=16;
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
+  Fr4 cc; memcpy(cc.v, c_prev, 32);
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP+MAXA][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 a,b,lo,hi,d;
+        memcpy(a.v,rows[p]+j*4,32);
+        memcpy(b.v,rows[p]+(j+nb)*4,32);
+        fr_sub(d,b,a); fr_mul(d,d,cc); fr_add(lo,a,d);
+        memcpy(out_rows[p]+j*4,lo.v,32);
+        memcpy(a.v,rows[p]+(j+half)*4,32);
+        memcpy(b.v,rows[p]+(j+half+nb)*4,32);
+        fr_sub(d,b,a); fr_mul(d,d,cc); fr_add(hi,a,d);
+        memcpy(out_rows[p]+(j+half)*4,hi.v,32);
+        e[p][0]=lo;
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(i64 a=0;a<A;a++){
+        for(int t=0;t<nevals;t++){
+          Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++){
+            if(fr_is_zero(prod)) break;
+            fr_mul(prod,prod,e[aux_fidx[f]][t]);
+          }
+          e[P+a][t]=prod;
+        }
+      }
+      Fr4 w; int wstate = -1;
+      for(int t=0;t<nevals;t++){
+        Fr4 inner{{0,0,0,0}};
+        for(i64 k=0;k<T;k++){
+          if(offsets[k+1]==offsets[k]){
+            Fr4 c; memcpy(c.v,coeffs+k*4,32);
+            fr_add(inner,inner,c);
+            continue;
+          }
+          Fr4 prod=e[fidx[offsets[k]]][t];
+          if(fr_is_zero(prod)) continue;
+          for(i64 f=offsets[k]+1;f<offsets[k+1];f++){
+            fr_mul(prod,prod,e[fidx[f]][t]);
+            if(fr_is_zero(prod)) break;
+          }
+          if(fr_is_zero(prod)) continue;
+          Fr4 c; memcpy(c.v,coeffs+k*4,32);
+          fr_mul(prod,prod,c);
+          fr_add(inner,inner,prod);
+        }
+        if(fr_is_zero(inner)) continue;
+        if(wstate < 0){
+          bool set=false;
+          if(log_wlo >= 0){ memcpy(w.v, wlo + (j & lomask)*4, 32); set=true; }
+          if(whi_n > 1){
+            Fr4 h; memcpy(h.v, whi + ((j >> whi_shift)&(whi_n-1))*4, 32);
+            if(set) fr_mul(w, w, h); else { w = h; set=true; }
+          }
+          wstate = set ? 1 : 0;
+        }
+        if(wstate) fr_mul(inner, inner, w);
+        fr_add(local[t],local[t],inner);
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
 // Single-limb Montgomery product: out = a * b / 2^256 mod r. To multiply a
 // Montgomery-form value w (= w_canon * R) by a plain u64 AND keep Montgomery
 // form, first scale once: W2 = fr_mul(w, R2) = w_canon * R^2; then

@@ -135,6 +135,12 @@ def _load():
                                    ctypes.c_int64, vp, vp,
                                    ctypes.c_int64, vp, ctypes.c_int64,
                                    ctypes.c_int, vp, ctypes.c_int, vp]),
+            ("frv_gruen_round_bind_p", [pp, ctypes.c_int64, ctypes.c_int64,
+                                        vp, pp, ctypes.c_int, vp, vp, vp,
+                                        ctypes.c_int64, vp, vp,
+                                        ctypes.c_int64, vp, ctypes.c_int64,
+                                        ctypes.c_int, vp, ctypes.c_int,
+                                        vp]),
             ("frv_gruen_round0_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int, vp, vp, vp,
                                       ctypes.c_int64, vp, ctypes.c_int64,
@@ -596,6 +602,7 @@ class GruenInstance:
                 rows[i] if ir is None else FrArray.from_i64(ir)
                 for i, ir in enumerate(int_rows)])
         self._field_enc = None
+        self._pending_bind = None  # lazily-fused field bind (see bind())
 
     # -- integer round-0 path ---------------------------------------------
     def _setup_int_encoding(self, max_degree: int) -> None:
@@ -663,6 +670,16 @@ class GruenInstance:
         self._set_field_rows([FrArray.from_i64(rw) for rw in self._irows])
         self._int_mode = False
 
+    def _flush_pending(self) -> None:
+        """Materialize a deferred bind through the plain bind kernel (for
+        consumers that read rows without another round: row_value, final
+        binds, device-resume fetches)."""
+        r = self._pending_bind
+        if r is None:
+            return
+        self._pending_bind = None
+        self.bind(r)
+
     # -- round message -----------------------------------------------------
     def round_points(self, nevals: int, whi, whi_shift: int, wlo,
                      log_wlo: int) -> list[Fr]:
@@ -674,6 +691,32 @@ class GruenInstance:
         whi_n = len(whi_a) if whi is not None else 1
         wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
         out = np.zeros((nevals, 4), dtype=np.uint64)
+        if self._pending_bind is not None:
+            # fused bind + eval: one streaming pass binds the previous
+            # challenge into fresh half-size buffers AND accumulates this
+            # round's weighted message evals
+            r = self._pending_bind
+            self._pending_bind = None
+            half = self.n // 2
+            coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
+                self._field_encoding()
+            outs = [np.empty((half, 4), dtype=np.uint64)
+                    for _ in range(self.P)]
+            optrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
+                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                  for o in outs])
+            _load().frv_gruen_round_bind_p(
+                self._ptrs, self.P, self.n,
+                _fr_limbs_cached(r).ctypes.data, optrs, nevals,
+                coeffs.ctypes.data, offsets.ctypes.data, fidx.ctypes.data,
+                T, aux_offs.ctypes.data, aux_fidx.ctypes.data, A,
+                whi_a.ctypes.data, whi_n, whi_shift, wlo_a.ctypes.data,
+                log_wlo, out.ctypes.data)
+            self._rows = outs
+            self._ptrs = optrs
+            self._rows_shared = False
+            self.n = half
+            return FrArray(out).to_fr_list()
         if self._int_mode:
             if not self._int_ok:
                 self._promote()
@@ -700,6 +743,14 @@ class GruenInstance:
 
     # -- binding -----------------------------------------------------------
     def bind(self, r: Fr) -> None:
+        if not self._int_mode and self.n >= 4:
+            # defer: the next round_points fuses this bind into its eval
+            # pass (csrc frv_gruen_round_bind_p) — the standalone bind
+            # passes were ~51% of the engine's time (SCALING.md round 3)
+            assert self._pending_bind is None
+            self._pending_bind = r
+            return
+        self._flush_pending()
         if self._int_mode:
             half = self.n // 2
             outs = [np.empty((half, 4), dtype=np.uint64)
@@ -740,12 +791,14 @@ class GruenInstance:
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
+        self._flush_pending()
         assert self.n == 1
         if self._int_mode:
             return Fr(int(self._irows[p][0]))
         return FrArray(self._rows[p][:1]).item(0)
 
     def row_array(self, p: int) -> FrArray:
+        self._flush_pending()
         if self._int_mode:
             return FrArray.from_i64(self._irows[p][: self.n])
         return FrArray(self._rows[p][: self.n].copy())

@@ -487,3 +487,31 @@ class TestE2ETransformer:
         toks = np.array([3, 14, 7, 0], dtype=np.int32)
         pp, proof, io = prove_and_verify(model, [toks])
         assert proof.size_estimate() > 0
+
+
+def test_lm_head_vocab_scale_satclamp():
+    """LM-head einsum at the true GPT-2 vocab width (65536 padded): the
+    SatClamp one-hot chunk families run over T = seq * 2^16 cycles through
+    the sparse two-phase booleanity schedule (subprotocols/onehot.py).
+    Guards the --fullvocab feasibility claim (examples/gpt2_style.py) at
+    reduced seq. Reference scale bound: atlas-onnx-tracer model/mod.rs:263
+    (largest committed poly = LOG_K_CHUNK + log2(output elements))."""
+    import numpy as np
+    from jolt_atlas_tpu.frontend.builder import ModelBuilder
+    from jolt_atlas_tpu.frontend.quantize import quantize_tensor
+    from jolt_atlas_tpu.preprocessing import AtlasPreprocessing
+    from jolt_atlas_tpu.prover import AtlasProver
+    from jolt_atlas_tpu.verifier import AtlasVerifier
+
+    rng = np.random.default_rng(11)
+    vocab, seq, dim = 1 << 16, 1, 16
+    b = ModelBuilder(scale=12)
+    x = b.input((seq, dim))
+    wl = b.constant(quantize_tensor(
+        rng.standard_normal((dim, vocab)) * 0.3, 12))
+    b.output(b.einsum("mk,kn->mn", [x, wl]))
+    model = b.build()
+    xq = quantize_tensor(rng.standard_normal((seq, dim)), 12)
+    pp = AtlasPreprocessing.preprocess(model)
+    proof, io = AtlasProver(pp).prove([xq])
+    assert AtlasVerifier(pp).verify(proof, io)
