@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 #include <omp.h>
 
 #include "mont4.h"
@@ -1019,6 +1020,163 @@ void frv_bind_rows_i64(const i64* const* rows, i64 P, i64 n, const u64* r,
       memcpy(out[p]+j*4, acc.v, 32);
     }
   }
+}
+
+// Field inversion, Montgomery-batched (in/out Montgomery form). One
+// Fermat exponentiation (a^(p-2), ~254 squarings) is shared across the
+// whole batch via prefix products; singles cost ~6 us vs CPython's ~22 us
+// extended-Euclid bigint pow(v, -1, r). Zero inputs map to zero.
+static void fr_fermat_inv(Fr4& out, const Fr4& a){
+  // exponent p-2, little-endian limbs
+  static const u64 E[4] = {0x43e1f593efffffffULL, 0x2833e84879b97091ULL,
+                           0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+  Fr4 acc = R1, base = a;
+  for(int limb=0; limb<4; limb++){
+    u64 e = E[limb];
+    for(int bit=0; bit<64; bit++){
+      if(e & 1) fr_mul(acc, acc, base);
+      e >>= 1;
+      if(limb==3 && e==0) break;
+      fr_mul(base, base, base);
+    }
+  }
+  out = acc;
+}
+
+void frv_inv(const u64* in, u64* out, i64 n){
+  if(n <= 0) return;
+  std::vector<Fr4> pre((size_t)n);
+  Fr4 run = R1;
+  for(i64 i=0;i<n;i++){
+    pre[i] = run;                       // product of nonzeros before i
+    Fr4 a; memcpy(a.v, in+i*4, 32);
+    if(!fr_is_zero(a)) fr_mul(run, run, a);
+  }
+  Fr4 inv_all; fr_fermat_inv(inv_all, run);
+  for(i64 i=n-1;i>=0;i--){
+    Fr4 a; memcpy(a.v, in+i*4, 32);
+    if(fr_is_zero(a)){ memset(out+i*4, 0, 32); continue; }
+    Fr4 o; fr_mul(o, inv_all, pre[i]);
+    memcpy(out+i*4, o.v, 32);
+    fr_mul(inv_all, inv_all, a);
+  }
+}
+
+// Canonical-form batch inversion: encode -> Fermat/Montgomery-batch ->
+// decode in ONE call (the separate encode/decode kernel calls cost more
+// ctypes overhead than the inversion itself for singletons).
+void frv_inv_canon(const u64* in, u64* out, i64 n){
+  std::vector<Fr4> enc((size_t)n);
+  for(i64 i=0;i<n;i++){
+    Fr4 a; memcpy(a.v, in+i*4, 32);
+    fr_mul(enc[i], a, R2);
+  }
+  frv_inv((const u64*)enc.data(), (u64*)enc.data(), n);
+  Fr4 one{{1,0,0,0}};
+  for(i64 i=0;i<n;i++){
+    Fr4 o; fr_mul(o, enc[i], one);   // Montgomery reduce to canonical
+    memcpy(out+i*4, o.v, 32);
+  }
+}
+
+// Batched one-hot RLC accumulation, cycle-partitioned: every member has
+// exactly one flat position per cycle k with position ≡ k (mod T), and all
+// members in an opening group share T, so threads owning disjoint k-ranges
+// can never write the same output word — one streaming pass, no atomics,
+// and none of frv_scatter_const_ranges' per-thread full-stream rescans
+// (that kernel remains the fallback for unequal member lengths).
+void frv_scatter_cycles(const u64* gammas, i64 nmemb,
+                        const i64* const* idx, i64 T, u64* out){
+  #pragma omp parallel if(nmemb*T>PAR_THRESH)
+  {
+    int nt=omp_get_num_threads(), t=omp_get_thread_num();
+    i64 lo=T*(i64)t/nt, hi=T*(i64)(t+1)/nt;
+    for(i64 m=0;m<nmemb;m++){
+      Fr4 g; memcpy(g.v,gammas+m*4,32);
+      const i64* ix=idx[m];
+      for(i64 k=lo;k<hi;k++){
+        i64 p=ix[k];
+        Fr4 o; memcpy(o.v,out+p*4,32);
+        fr_add(o,o,g);
+        memcpy(out+p*4,o.v,32);
+      }
+    }
+  }
+}
+
+// Sparse one-hot Booleanity address-round message (onehot.py _phase1_qev):
+// for each chunk d the partially-bound one-hot has exactly one nonzero per
+// cycle j, at value c = idx[d][j], worth U[c] times the split-eq pair
+// weight w(p), p = ((c & (bit-1)) << logT) + j. The round evals reduce to
+// K-bucket weight sums G_d[c] = sum_j w(p) [idx[d][j] == c], combined with
+// U / U^2 and the current address bit. One streaming pass over (D, T)
+// replaces the per-chunk gather/mul/scatter/mask chain the Python layer
+// ran (measured ~16% of prove as FrArray temporaries at bench scale).
+// out = [q(0), q(2)] as Montgomery limbs.
+void frv_onehot_qev(const i64* const* idx, i64 D, i64 T,
+                    const u64* U, i64 K,
+                    const u64* whi, i64 whi_n, int whi_shift,
+                    const u64* wlo, int log_wlo,
+                    int low_bits, int logT,
+                    const u64* gammas, u64* out){
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
+  const i64 bitmask = ((i64)1 << low_bits) - 1;
+  static_assert(sizeof(Fr4)==32, "Fr4 layout");
+  std::vector<Fr4> Gbuf((size_t)(D*K), Fr4{{0,0,0,0}});
+  Fr4* G = Gbuf.data();
+  const bool has_hi = whi_n > 1, has_lo = log_wlo >= 0;
+  #pragma omp parallel if(D*T>PAR_THRESH)
+  {
+    std::vector<Fr4> lbuf((size_t)(D*K), Fr4{{0,0,0,0}});
+    Fr4* local = lbuf.data();
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<T;j++){
+      for(i64 d=0;d<D;d++){
+        i64 c = idx[d][j];
+        i64 p = ((c & bitmask) << logT) + j;
+        Fr4 w;
+        if(has_hi && has_lo){
+          Fr4 h,l;
+          memcpy(h.v, whi + ((p >> whi_shift)&(whi_n-1))*4, 32);
+          memcpy(l.v, wlo + (p & lomask)*4, 32);
+          fr_mul(w, h, l);
+        } else if(has_lo){
+          memcpy(w.v, wlo + (p & lomask)*4, 32);
+        } else if(has_hi){
+          memcpy(w.v, whi + ((p >> whi_shift)&(whi_n-1))*4, 32);
+        } else {
+          w = R1;  // weight identically one (Montgomery form)
+        }
+        fr_add(local[d*K+c], local[d*K+c], w);
+      }
+    }
+    #pragma omp critical
+    for(i64 i=0;i<D*K;i++) fr_add(G[i], G[i], local[i]);
+  }
+  // tail: combine buckets with U, U^2, the address bit, and gammas
+  Fr4 q0{{0,0,0,0}}, q2{{0,0,0,0}};
+  for(i64 d=0;d<D;d++){
+    Fr4 a1nb{{0,0,0,0}}, a2nb{{0,0,0,0}}, a1b{{0,0,0,0}}, a2b{{0,0,0,0}};
+    for(i64 k=0;k<K;k++){
+      Fr4 u; memcpy(u.v, U + k*4, 32);
+      Fr4 gu; fr_mul(gu, G[d*K+k], u);
+      Fr4 gu2; fr_mul(gu2, gu, u);
+      if((k >> low_bits) & 1){ fr_add(a1b,a1b,gu); fr_add(a2b,a2b,gu2); }
+      else { fr_add(a1nb,a1nb,gu); fr_add(a2nb,a2nb,gu2); }
+    }
+    // s0 = a2nb - a1nb ; s2 = a2nb + a1nb + 4*a2b - 2*a1b
+    Fr4 s0; fr_sub(s0, a2nb, a1nb);
+    Fr4 s2; fr_add(s2, a2nb, a1nb);
+    Fr4 t4; fr_add(t4, a2b, a2b); fr_add(t4, t4, t4);
+    fr_add(s2, s2, t4);
+    Fr4 t2; fr_add(t2, a1b, a1b);
+    fr_sub(s2, s2, t2);
+    Fr4 g; memcpy(g.v, gammas + d*4, 32);
+    Fr4 gs; fr_mul(gs, g, s0); fr_add(q0, q0, gs);
+    fr_mul(gs, g, s2); fr_add(q2, q2, gs);
+  }
+  memcpy(out, q0.v, 32);
+  memcpy(out+4, q2.v, 32);
 }
 
 }  // extern "C"

@@ -153,6 +153,14 @@ def _load():
                                         vp]),
             ("frv_bind_rows_i64", [ppi, ctypes.c_int64, ctypes.c_int64,
                                    vp, pp]),
+            ("frv_scatter_cycles", [vp, ctypes.c_int64, ppi,
+                                    ctypes.c_int64, vp]),
+            ("frv_inv", [vp, vp, ctypes.c_int64]),
+            ("frv_inv_canon", [vp, vp, ctypes.c_int64]),
+            ("frv_onehot_qev", [ppi, ctypes.c_int64, ctypes.c_int64,
+                                vp, ctypes.c_int64, vp, ctypes.c_int64,
+                                ctypes.c_int, vp, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int, vp, vp]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -174,9 +182,8 @@ def _c(a: np.ndarray) -> np.ndarray:
 
 def _fr_limbs(x: Fr) -> np.ndarray:
     """Single Fr -> (1,4) canonical limbs -> Montgomery."""
-    v = x.v
-    out = np.array([[(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]],
-                   dtype=np.uint64)
+    out = np.frombuffer(x.v.to_bytes(32, "little"),
+                        dtype=np.uint64).reshape(1, 4)
     enc = np.empty_like(out)
     _load().frv_encode(out, enc, 1)
     return enc
@@ -299,10 +306,7 @@ class FrArray:
         d = _c(self.d[i: i + 1])
         can = np.empty((1, 4), dtype=np.uint64)
         _load().frv_decode(d.ctypes.data, can.ctypes.data, 1)
-        v = 0
-        for k in range(3, -1, -1):
-            v = (v << 64) | int(can[0, k])
-        return Fr(v)
+        return Fr(int.from_bytes(can.tobytes(), "little"))
 
     # -- container protocol ------------------------------------------------
     def __len__(self) -> int:
@@ -827,20 +831,86 @@ def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:
 
 
 def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
-    """acc[idx_list[j][t]] += gammas[j] for every member j, in one
-    OpenMP pass (threads own disjoint output ranges; no per-member
-    T-length value array). Batched one-hot RLC accumulation for the
-    opening-reduction prepare (poly/opening.py)."""
+    """acc[idx_list[j][t]] += gammas[j] for every member j (batched
+    one-hot RLC accumulation for the opening-reduction prepare,
+    poly/opening.py). Equal-length members (the normal case: a group
+    shares its opening point, hence its cycle count T, and one-hot
+    members carry exactly one position per cycle with position ≡ cycle
+    mod T) take the collision-free cycle-partitioned single pass
+    (frv_scatter_cycles); mixed lengths fall back to the
+    range-partitioned scan kernel."""
     if not idx_list:
         return
     gl = np.ascontiguousarray(np.concatenate(
         [_fr_limbs_cached(g) for g in gammas]))
-    parts = [np.asarray(ix).ravel() for ix in idx_list]
+    parts = [np.ascontiguousarray(np.asarray(ix).ravel(), dtype=np.int64)
+             for ix in idx_list]
+    T = len(parts[0])
+    if (T & (T - 1)) == 0 and all(len(p) == T for p in parts) and all(
+            bool(((p & (T - 1)) == np.arange(T, dtype=np.int64)).all())
+            for p in parts):
+        iptrs = (ctypes.POINTER(ctypes.c_int64) * len(parts))(
+            *[p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+              for p in parts])
+        _load().frv_scatter_cycles(gl.ctypes.data, len(parts), iptrs, T,
+                                   acc.d.ctypes.data)
+        return
     offs = np.zeros(len(parts) + 1, dtype=np.int64)
     np.cumsum([len(p) for p in parts], out=offs[1:])
     idx = np.ascontiguousarray(np.concatenate(parts), dtype=np.int64)
     _load().frv_scatter_const_ranges(gl, offs, len(parts), idx, acc.d,
                                      len(acc))
+
+
+def fr_inverse(x) -> "Fr | None":
+    """Native Fermat inversion (csrc frv_inv) of one Fr scalar; None when
+    the native library is unavailable (caller falls back to pow(v,-1,r)).
+    Stays on raw byte buffers — no FrArray/cache detours — so the whole
+    call is encode + 254-square Fermat + decode (~12 us vs pow's 22 us)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(x.v.to_bytes(32, "little"), dtype=np.uint64)
+    out = np.empty(4, dtype=np.uint64)
+    lib.frv_inv_canon(buf.ctypes.data, out.ctypes.data, 1)
+    return Fr(int.from_bytes(out.tobytes(), "little"))
+
+
+def inv_batch(xs: "FrArray") -> "FrArray":
+    """Montgomery-batched inversion of a limb vector (zeros map to zero)."""
+    out = np.empty_like(xs.d)
+    _load().frv_inv(_c(xs.d).ctypes.data, out.ctypes.data, len(xs))
+    return FrArray(out)
+
+
+def onehot_qev(idx_list: list, U: FrArray, whi, whi_shift: int, wlo,
+               log_wlo: int, low_bits: int, logT: int,
+               gammas: list) -> tuple:
+    """Sparse Booleanity address-round message evals [q(0), q(2)] in one
+    fused C pass over the (D, T) chunk-index arrays (onehot.py
+    BooleanityProver phase 1). whi/wlo are the split-eq weight tables
+    (Montgomery limb arrays or None), U the per-value bound-prefix
+    weights, gammas the chunk batching coefficients."""
+    D = len(idx_list)
+    assert D >= 1
+    T = len(idx_list[0])
+    K = len(U)
+    assert K <= 256, K  # chunk tables are K_CHUNK-sized (config.LOG_K_CHUNK)
+    iptrs = (ctypes.POINTER(ctypes.c_int64) * D)(
+        *[ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+          for ix in idx_list])
+    whi_a = _c(whi) if whi is not None else _DUMMY_U64
+    whi_n = len(whi_a) if whi is not None else 1
+    wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
+    gl = np.ascontiguousarray(np.concatenate(
+        [_fr_limbs_cached(g) for g in gammas]))
+    out = np.zeros((2, 4), dtype=np.uint64)
+    _load().frv_onehot_qev(iptrs, D, T, _c(U.d).ctypes.data, K,
+                           whi_a.ctypes.data, whi_n, whi_shift,
+                           wlo_a.ctypes.data, log_wlo, low_bits, logT,
+                           gl.ctypes.data, out.ctypes.data)
+    fa = FrArray(out)
+    return fa.item(0), fa.item(1)
 
 
 def syndiv(coeffs: FrArray, u: Fr) -> FrArray:

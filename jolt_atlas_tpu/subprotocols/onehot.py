@@ -318,53 +318,19 @@ class BooleanityProver(RowsInstance, SumcheckInstanceProver):
 
     # -- phase 1: sparse address rounds -------------------------------------
     def _phase1_qev(self) -> list[Fr]:
+        # one fused C pass over the (D, T) chunk indices: per (d, j) the
+        # split-eq pair weight is bucketed by chunk value, then buckets
+        # combine with U/U^2 and the current address bit (frv_onehot_qev).
+        # Per-value math: x(t) = U[c] * (b ? t : 1-t), b = bit of c, so
+        # t=0: b=0 -> x^2-x = U^2-U; b=1 -> 0
+        # t=2: b=0 -> U^2+U;         b=1 -> 4U^2-2U
         from ..field import frvec
-        from ..field.frvec import FrArray
         rnd = self._rows_round
         whi, shift, wlo, log_wlo = self._se.tables(rnd)
         low_bits = self.logK - rnd - 1
         logT = self.T.bit_length() - 1
-        whi_d = np.asarray(whi) if whi is not None else None
-        wlo_d = np.asarray(wlo) if wlo is not None else None
-        mask = (1 << log_wlo) - 1 if log_wlo >= 0 else 0
-        j = np.arange(self.T, dtype=np.int64)
-        bit = 1 << low_bits
-        q0 = Fr.zero()
-        q2 = Fr.zero()
-        U = self._U
-        # per-value helpers: x(t) = U[c] * (b ? t : 1-t), b = bit of c
-        U2 = U.mul(U)
-        for d, gamma in enumerate(self.gammas):
-            c = self.idx[d]
-            p = ((c & (bit - 1)) << logT) + j      # nonzero pair position
-            if whi_d is not None and wlo_d is not None:
-                w = FrArray(whi_d[p >> shift]).mul(FrArray(wlo_d[p & mask]))
-            elif wlo_d is not None:
-                w = FrArray(np.ascontiguousarray(wlo_d[p & mask]))
-            elif whi_d is not None:
-                w = FrArray(np.ascontiguousarray(whi_d[p >> shift]))
-            else:
-                w = FrArray.full(self.T, Fr.one())
-            G = frvec.scatter_add(w, c, self.K)    # bucket weights by value
-            GU = G.mul(U)
-            GU2 = G.mul(U2)
-            b = ((np.arange(self.K) >> low_bits) & 1).astype(bool)
-            # t=0: b=0 -> x=U (x^2-x = U^2-U); b=1 -> x=0
-            # t=2: b=0 -> x=-U (U^2+U);        b=1 -> x=2U (4U^2-2U)
-            s0 = Fr.zero()
-            s2 = Fr.zero()
-            nb = ~b
-            if nb.any():
-                a2 = FrArray(np.ascontiguousarray(GU2.d[nb])).sum()
-                a1 = FrArray(np.ascontiguousarray(GU.d[nb])).sum()
-                s0 = a2 - a1
-                s2 = a2 + a1
-            if b.any():
-                a2 = FrArray(np.ascontiguousarray(GU2.d[b])).sum()
-                a1 = FrArray(np.ascontiguousarray(GU.d[b])).sum()
-                s2 = s2 + Fr(4) * a2 - Fr(2) * a1
-            q0 = q0 + gamma * s0
-            q2 = q2 + gamma * s2
+        q0, q2 = frvec.onehot_qev(self.idx, self._U, whi, shift, wlo,
+                                  log_wlo, low_bits, logT, self.gammas)
         return [q0, q2]
 
     def _phase1_bind(self, r: Fr) -> None:
