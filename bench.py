@@ -104,6 +104,12 @@ def main():
     }
     if not small:
         out["msm_pts_per_s"] = round(msm_pps(), 1)
+    # device-path telemetry: dispatch counts per accelerator engine and
+    # the engage/decline decision each one recorded (tpu/telemetry.py).
+    # On a link-viable deployment this shows the chip's dispatches; on a
+    # gated link it names the measured gate that ruled the device out.
+    from jolt_atlas_tpu.tpu import telemetry
+    out["device"] = telemetry.snapshot()
     print(json.dumps(out))
 
 

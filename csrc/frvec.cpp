@@ -616,6 +616,45 @@ void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
   i64 half = n/2;
   const int MAXE=20, MAXP=96, MAXA=16;
   const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
+  // single-row degree-2 fast path (opening-reduction / RLC rounds — the
+  // dominant call shape): q(0) = coeff * sum_j row[j] * w(j). The whi
+  // factor is constant across 2^whi_shift-pair blocks, so it multiplies
+  // the BLOCK SUM instead of every pair: ~1 mul/pair instead of ~3
+  // (field arithmetic is exact, so regrouping leaves the message
+  // byte-identical).
+  if(P==1 && nevals==1 && A==0 && T==1 && offsets[1]-offsets[0]==1){
+    const bool hl = (whi_n > 1), ll = (log_wlo >= 0);
+    const u64* row = rows[0];
+    const i64 BS = hl ? ((i64)1 << whi_shift) : half;
+    const i64 nblk = (half + BS - 1) / BS;
+    Fr4 total{{0,0,0,0}};
+    #pragma omp parallel if(half>PAR_THRESH)
+    {
+      Fr4 loc{{0,0,0,0}};
+      #pragma omp for schedule(static) nowait
+      for(i64 b=0;b<nblk;b++){
+        Fr4 bs{{0,0,0,0}};
+        i64 j0=b*BS, j1 = j0+BS < half ? j0+BS : half;
+        for(i64 j=j0;j<j1;j++){
+          Fr4 v; memcpy(v.v,row+j*4,32);
+          if(fr_is_zero(v)) continue;
+          if(ll){ Fr4 l; memcpy(l.v,wlo+(j&lomask)*4,32); fr_mul(v,v,l); }
+          fr_add(bs,bs,v);
+        }
+        if(hl){
+          Fr4 h; memcpy(h.v,whi+((j0>>whi_shift)&(whi_n-1))*4,32);
+          fr_mul(bs,bs,h);
+        }
+        fr_add(loc,loc,bs);
+      }
+      #pragma omp critical
+      fr_add(total,total,loc);
+    }
+    Fr4 c0; memcpy(c0.v,coeffs,32);
+    if(memcmp(c0.v,R1.v,32)!=0) fr_mul(total,total,c0);
+    memcpy(out,total.v,32);
+    return;
+  }
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -708,6 +747,51 @@ void frv_gruen_round_bind_p(const u64* const* rows, i64 P, i64 n,
   const int MAXE=20, MAXP=96, MAXA=16;
   const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
   Fr4 cc; memcpy(cc.v, c_prev, 32);
+  // single-row fast path (see frv_gruen_round_p): bind the previous
+  // challenge and accumulate q(0) = coeff * sum_j bound[j] * w(j) with the
+  // whi factor applied per 2^whi_shift block instead of per pair.
+  if(P==1 && nevals==1 && A==0 && T==1 && offsets[1]-offsets[0]==1){
+    const bool hl = (whi_n > 1), ll = (log_wlo >= 0);
+    const u64* row = rows[0];
+    u64* orow = out_rows[0];
+    const i64 BS = hl ? ((i64)1 << whi_shift) : half;
+    const i64 nblk = BS ? (half + BS - 1) / BS : 0;
+    Fr4 total{{0,0,0,0}};
+    #pragma omp parallel if(half>PAR_THRESH)
+    {
+      Fr4 loc{{0,0,0,0}};
+      #pragma omp for schedule(static) nowait
+      for(i64 b=0;b<nblk;b++){
+        Fr4 bs{{0,0,0,0}};
+        i64 j0=b*BS, j1 = j0+BS < half ? j0+BS : half;
+        for(i64 j=j0;j<j1;j++){
+          Fr4 a2,b2,lo,hi,d;
+          memcpy(a2.v,row+j*4,32);
+          memcpy(b2.v,row+(j+nb)*4,32);
+          fr_sub(d,b2,a2); fr_mul(d,d,cc); fr_add(lo,a2,d);
+          memcpy(orow+j*4,lo.v,32);
+          memcpy(a2.v,row+(j+half)*4,32);
+          memcpy(b2.v,row+(j+half+nb)*4,32);
+          fr_sub(d,b2,a2); fr_mul(d,d,cc); fr_add(hi,a2,d);
+          memcpy(orow+(j+half)*4,hi.v,32);
+          if(fr_is_zero(lo)) continue;
+          if(ll){ Fr4 l; memcpy(l.v,wlo+(j&lomask)*4,32); fr_mul(lo,lo,l); }
+          fr_add(bs,bs,lo);
+        }
+        if(hl){
+          Fr4 h; memcpy(h.v,whi+((j0>>whi_shift)&(whi_n-1))*4,32);
+          fr_mul(bs,bs,h);
+        }
+        fr_add(loc,loc,bs);
+      }
+      #pragma omp critical
+      fr_add(total,total,loc);
+    }
+    Fr4 c0; memcpy(c0.v,coeffs,32);
+    if(memcmp(c0.v,R1.v,32)!=0) fr_mul(total,total,c0);
+    memcpy(out,total.v,32);
+    return;
+  }
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)

@@ -102,9 +102,11 @@ class KZGSRS:
         if getattr(self, "_device_failed", False):
             return None
         import os
+        from ..tpu import telemetry
         mode = os.environ.get("JOLT_ATLAS_TPU_MSM", "auto")
         self._device_failed = True
         if mode == "off":
+            telemetry.decide("msm", "off (env)")
             return None
         prep = self.prepared_bases()
         if prep is None:
@@ -112,6 +114,8 @@ class KZGSRS:
         try:
             from ..tpu import linkcal
             if mode == "auto" and linkcal.cached_nonviable():
+                telemetry.decide("msm", "link nonviable (persisted cal: "
+                                 + linkcal.cached_summary() + ")")
                 return None   # known-slow link: skip backend init entirely
             from ..tpu import msm as tmsm
             if not tmsm.available():
@@ -123,9 +127,15 @@ class KZGSRS:
                 if (jax.default_backend() == "cpu"
                         or not linkcal.device_path_viable(
                             jax, PlanesCtx(FR_MODULUS))):
+                    telemetry.decide(
+                        "msm", "cpu backend" if jax.default_backend() == "cpu"
+                        else "link nonviable (measured: "
+                             + linkcal.cached_summary() + ")")
                     return None
             self._device = tmsm.DeviceBases(prep.buf.raw, prep.n)
             self._device_failed = False
+            telemetry.decide("msm", f"ENGAGED ({prep.n} device-resident "
+                             "bases)")
         except Exception:
             return None
         return self._device

@@ -141,6 +141,21 @@ def _clears(cal: dict) -> bool:
             and cal["round_64k_s"] <= MAX_ROUND_S)
 
 
+def cached_summary() -> str:
+    """Human-readable one-liner of the persisted calibration (telemetry)."""
+    cal = _CACHED
+    if cal is None:
+        try:
+            import json as _json
+            with open(_cal_path()) as f:
+                cal = _json.load(f)
+        except (OSError, ValueError):
+            return "no calibration"
+    return (f"up {cal.get('up_MBps', '?')} MB/s, "
+            f"down {cal.get('down_MBps', '?')} MB/s, "
+            f"round {cal.get('round_64k_s', '?')} s")
+
+
 def cached_nonviable() -> bool:
     """True when a persisted calibration (any backend) already failed the
     thresholds — lets callers skip backend init (a ~10 s jax import +

@@ -278,6 +278,7 @@ class DeviceBases:
         """Enqueue a batch of MSMs (canonical 32-byte-LE scalars against
         base prefixes). Device work proceeds asynchronously; pair with
         `finish()`. Returns an opaque handle."""
+        from . import telemetry
         jax, curveops = _state()
         jnp = jax.numpy
         W = (_NBITS + c - 1) // c
@@ -291,6 +292,7 @@ class DeviceBases:
             for m0 in range(0, grid.shape[0], _BLK):
                 blk = jnp.asarray(grid[m0:m0 + _BLK])
                 acc = accum(self.X, self.Y, self.Z, *acc, blk)
+                telemetry.count("msm")
             accs.append(acc)
         # stack lanes and run one batched combine (pad batch to pow2)
         k = len(accs)
@@ -300,6 +302,7 @@ class DeviceBases:
         stacked = tuple(jnp.stack([a[i] for a in accs], axis=1)
                         for i in range(3))
         R = _combine_kernel(c, W, kp)(*stacked)
+        telemetry.count("msm")
         return (R, k, c)
 
     def finish(self, handle) -> list:

@@ -299,8 +299,10 @@ def try_prove(instances, accumulator, transcript):
     the host path, or None when the device path is not engaged (caller
     falls back). Instances must NOT have setup_sumcheck() called yet;
     this function initializes them (device-resumed or host)."""
+    from . import telemetry
     mode = os.environ.get("JOLT_ATLAS_TPU_REDUCTION", "auto")
     if mode == "off":
+        telemetry.decide("reduction", "off (env)")
         return None
     from ..field.frvec import FrArray
     from ..poly.spliteq import SplitEq
@@ -325,17 +327,22 @@ def try_prove(instances, accumulator, transcript):
     total = sum(len(instances[k].rlc_fvec) for k in head_ids)
     if mode == "auto" and total < int(
             os.environ.get("JOLT_ATLAS_TPU_REDUCTION_MIN", str(1 << 21))):
+        telemetry.decide("reduction", f"below size floor ({total} elems)")
         return None
     # only now pay backend init (jax import / relay handshake) — unless a
     # persisted calibration already ruled this machine's link out
     if mode == "auto":
         from . import linkcal
         if linkcal.cached_nonviable():
+            telemetry.decide("reduction", "link nonviable (persisted cal: "
+                             + linkcal.cached_summary() + ")")
             return None
     if not _state():
+        telemetry.decide("reduction", "no jax backend")
         return None
     jax, FR = _state()
     if mode == "auto" and jax.default_backend() == "cpu":
+        telemetry.decide("reduction", "cpu backend")
         return None
     jnp = jax.numpy
     if mode == "auto":
@@ -345,7 +352,11 @@ def try_prove(instances, accumulator, transcript):
         # math and the measured 150x loss through a tunneled relay)
         from . import linkcal
         if not linkcal.device_path_viable(jax, FR):
+            telemetry.decide("reduction", "link nonviable (measured: "
+                             + linkcal.cached_summary() + ")")
             return None
+    telemetry.decide("reduction", f"ENGAGED ({total} elems, backend "
+                     + jax.default_backend() + ")")
 
     # ---- protocol prefix (host transcript, identical to BatchedSumcheck)
     claims = [inst.input_claim(accumulator) for inst in instances]
@@ -512,6 +523,7 @@ def try_prove(instances, accumulator, transcript):
             blkseg[pos // blk:-(-(pos + half) // blk)] = lanes[k]
             pos += -(-half // blk) * blk
 
+        telemetry.count("reduction", 3)  # bind + q0 + tail this round
         qsum = _q0_kernel(n_pad, Kpad, Ipad, nblk, blk)(
             buf, _put_flat(whi_tab), _put_flat(wlo_tab),
             jnp.asarray(whi_idx), jnp.asarray(wlo_idx), jnp.asarray(lo_q),
@@ -566,6 +578,7 @@ def try_prove(instances, accumulator, transcript):
         lo_pos[pos:pos + sz // 2] = o + j
         hi_pos[pos:pos + sz // 2] = o + sz // 2 + j
         pos += sz // 2
+    telemetry.count("reduction", 1)  # final bind
     buf = _bind_kernel(nfin_pad, buf.shape[1], init_dev.shape[1])(
         buf, init_dev, c_dev, jnp.asarray(lo_pos), jnp.asarray(hi_pos),
         jnp.full(nfin_pad, zero_slot, dtype=np.int32),

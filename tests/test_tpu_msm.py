@@ -15,9 +15,13 @@ import pytest
 
 # the accumulate/combine kernels take minutes to compile on the CPU
 # backend the first time; opt-in alongside the other device-path tests
+from conftest import device_tests_enabled, mark_device_tests_warm
+
 pytestmark = pytest.mark.skipif(
-    os.environ.get("JOLT_ATLAS_SLOW_TESTS", "") in ("", "0"),
-    reason="set JOLT_ATLAS_SLOW_TESTS=1 (XLA kernel compiles)")
+    not device_tests_enabled(),
+    reason="first run compiles XLA kernels for minutes; set "
+           "JOLT_ATLAS_SLOW_TESTS=1 once to seed .jax_cache, "
+           "after which these run by default")
 
 from jolt_atlas_tpu.commitment.kzg import KZGSRS
 from jolt_atlas_tpu.curve.native import pack_scalars
@@ -49,3 +53,4 @@ def test_device_msm_matches_host():
     want = [prep.msm_packed(p, k) for p, k in zip(packed, counts)]
     for g, w, c in zip(got, want, cases):
         assert g == w, f"device MSM diverged on case {cases.index(c)}"
+    mark_device_tests_warm()  # later runs hit the compile cache -> fast

@@ -17,9 +17,13 @@ import pytest
 # CPU backend (the TPU relay does it in ~4 min, cached thereafter), so the
 # full-engine run is opt-in. The production path self-checks regardless:
 # try_prove raises if the device transcript diverges from the host replay.
+from conftest import device_tests_enabled, mark_device_tests_warm
+
 pytestmark = pytest.mark.skipif(
-    os.environ.get("JOLT_ATLAS_SLOW_TESTS", "") in ("", "0"),
-    reason="set JOLT_ATLAS_SLOW_TESTS=1 (15+ min XLA compile on CPU)")
+    not device_tests_enabled(),
+    reason="first run compiles XLA kernels for minutes; set "
+           "JOLT_ATLAS_SLOW_TESTS=1 once to seed .jax_cache, "
+           "after which these run by default")
 
 from jolt_atlas_tpu import serde
 from jolt_atlas_tpu.frontend import ModelBuilder
@@ -71,3 +75,4 @@ def test_device_reduction_byte_exact():
     assert blob_full == blob_off, "full-device schedule changed proof bytes"
     assert AtlasVerifier(pp).verify(proof, io)
     assert AtlasVerifier(pp).verify(proof_f, io_f)
+    mark_device_tests_warm()  # later runs hit the compile cache -> fast
