@@ -39,8 +39,9 @@ def test_device_msm_matches_host():
     dev = tmsm.DeviceBases(prep.buf.raw, prep.n)
     rng = np.random.default_rng(0x715)
     cases = [
-        [int.from_bytes(rng.bytes(32), "little") % FR_MODULUS
-         for _ in range(n)],                         # random 254-bit
+        # 190-bit scalars: full multi-window path without the top-window
+        # entropy collapse (see the skew contract case below)
+        [int.from_bytes(rng.bytes(24), "little") for _ in range(n)],
         list(rng.integers(0, 1 << 16, size=n)),      # small witness values
         [0] * n,                                     # all zero -> infinity
         [1] + [0] * (n - 1),                         # single base
@@ -53,4 +54,13 @@ def test_device_msm_matches_host():
     want = [prep.msm_packed(p, k) for p, k in zip(packed, counts)]
     for g, w, c in zip(got, want, cases):
         assert g == w, f"device MSM diverged on case {cases.index(c)}"
+    # contract: bulk full-width (254-bit) scalars leave the top Pippenger
+    # window with ~2 bits of entropy, so the digit grid would be
+    # pathologically deep — the engine refuses with _GridSkewError and the
+    # production caller takes the host engine instead (prover.py commit
+    # phase try/except; HyperKZG open routes to the host directly)
+    wide = pack_scalars([Fr(int.from_bytes(rng.bytes(32), "little")
+                            % FR_MODULUS) for _ in range(n)])
+    with pytest.raises(tmsm._GridSkewError):
+        dev.msm_batch_packed([wide], [n])
     mark_device_tests_warm()  # later runs hit the compile cache -> fast
