@@ -1106,6 +1106,123 @@ void frv_bind_rows_i64(const i64* const* rows, i64 P, i64 n, const u64* r,
   }
 }
 
+// ---- small univariate (round message) kernels ------------------------------
+//
+// The batched-sumcheck round loop runs tens of thousands of tiny univariate
+// operations (interpolate a degree <= 20 message, scale-accumulate it into
+// the batched poly, evaluate at the round challenge). Doing these per-
+// coefficient in Python Fr costs ~0.5 us/mul plus object churn; these
+// kernels take the whole poly in one call on Montgomery limb rows
+// (reference counterpart: the UniPoly ops of joltworks/src/poly/unipoly.rs
+// running on arkworks field elements).
+
+// out = M @ x for a small n x n Montgomery matrix (row-major)
+void frv_matvec_small(const u64* M, const u64* x, i64 n, u64* out){
+  for(i64 i=0;i<n;i++){
+    Fr4 acc={{0,0,0,0}};
+    for(i64 j=0;j<n;j++){
+      const u64* m = M + (i*n+j)*4;
+      if((m[0]|m[1]|m[2]|m[3])==0) continue;
+      Fr4 a,b,p;
+      memcpy(a.v,m,32); memcpy(b.v,x+j*4,32);
+      fr_mul(p,a,b);
+      fr_add(acc,acc,p);
+    }
+    memcpy(out+i*4,acc.v,32);
+  }
+}
+
+// UniPoly coefficients from the sumcheck eval ladder + claim hint:
+// full = [e0, hint - e0, e1, ..., e_{nev-1}] (evals at 0, 1, 2, ..., nev),
+// out = vinv @ full  with vinv the (nev+1)x(nev+1) inverse Vandermonde.
+void frv_unipoly_hint_interp(const u64* evals, i64 nev, const u64* hint,
+                             const u64* vinv, u64* out){
+  const i64 n = nev + 1;
+  Fr4 full[24];
+  memcpy(full[0].v, evals, 32);
+  Fr4 h; memcpy(h.v, hint, 32);
+  fr_sub(full[1], h, full[0]);
+  for(i64 i=1;i<nev;i++) memcpy(full[i+1].v, evals+i*4, 32);
+  frv_matvec_small(vinv, (const u64*)full, n, out);
+}
+
+// Gruen round assembly (sumcheck.py _gruen_assemble): from the weighted
+// product evals qev = [q(0), q(2), ..., q(nq)] recover
+//   q(1) = (claim * es_inv - l0 * q(0)) * l1_inv,
+// interpolate q (nq+1 coeffs via vinv), then emit
+//   s(X) = es * (l0 + X*(l1 - l0)) * q(X)   (nq+2 coefficients).
+// es == R1 (identity) skips the final scaling.
+void frv_gruen_assemble(const u64* qev, i64 nq, const u64* claim,
+                        const u64* es, const u64* es_inv, const u64* l0,
+                        const u64* l1, const u64* l1_inv, const u64* vinv,
+                        u64* out){
+  const i64 n = nq + 1;          // q coefficient count
+  Fr4 full[24], q[24];
+  Fr4 cl, e_inv, L0, L1, L1i;
+  memcpy(cl.v, claim, 32); memcpy(e_inv.v, es_inv, 32);
+  memcpy(L0.v, l0, 32); memcpy(L1.v, l1, 32); memcpy(L1i.v, l1_inv, 32);
+  memcpy(full[0].v, qev, 32);
+  Fr4 t0, t1;
+  fr_mul(t0, cl, e_inv);
+  fr_mul(t1, L0, full[0]);
+  fr_sub(t0, t0, t1);
+  fr_mul(full[1], t0, L1i);
+  for(i64 i=1;i<nq;i++) memcpy(full[i+1].v, qev+i*4, 32);
+  frv_matvec_small(vinv, (const u64*)full, n, (u64*)q);
+  // s = l0*q + X*(l1-l0)*q
+  Fr4 b; fr_sub(b, L1, L0);
+  Fr4 s[25];
+  for(i64 i=0;i<n+1;i++) s[i]=Fr4{{0,0,0,0}};
+  for(i64 i=0;i<n;i++){
+    Fr4 p;
+    fr_mul(p, L0, q[i]);
+    fr_add(s[i], s[i], p);
+    fr_mul(p, b, q[i]);
+    fr_add(s[i+1], s[i+1], p);
+  }
+  Fr4 esv; memcpy(esv.v, es, 32);
+  if(memcmp(esv.v, R1.v, 32) != 0)
+    for(i64 i=0;i<n+1;i++) fr_mul(s[i], s[i], esv);
+  memcpy(out, s, (size_t)(n+1)*32);
+}
+
+// Batched-round accumulate: acc[:lens[i]] += scalars[i] * polys[i] for all
+// K instance messages in ONE call (replaces one axpy call per instance per
+// round — ~42k ctypes crossings per nanoGPT prove).
+void frv_axpy_multi(u64* acc, const u64* const* ptrs, const i64* lens,
+                    const u64* scalars, i64 K){
+  for(i64 i=0;i<K;i++){
+    Fr4 s; memcpy(s.v, scalars+i*4, 32);
+    const u64* p = ptrs[i];
+    for(i64 j=0;j<lens[i];j++){
+      Fr4 x,o;
+      memcpy(x.v,p+j*4,32);
+      fr_mul(x,x,s);
+      memcpy(o.v,acc+j*4,32);
+      fr_add(o,o,x);
+      memcpy(acc+j*4,o.v,32);
+    }
+  }
+}
+
+// Batched Horner: out[i] = polys[i](r) for all K instance messages in ONE
+// call (the per-round individual-claim update of BatchedSumcheck).
+void frv_horner_multi(const u64* const* ptrs, const i64* lens, i64 K,
+                      const u64* r, u64* out){
+  Fr4 rr; memcpy(rr.v, r, 32);
+  for(i64 i=0;i<K;i++){
+    const u64* p = ptrs[i];
+    i64 n = lens[i];
+    Fr4 acc={{0,0,0,0}};
+    for(i64 j=n-1;j>=0;j--){
+      Fr4 c; memcpy(c.v,p+j*4,32);
+      fr_mul(acc,acc,rr);
+      fr_add(acc,acc,c);
+    }
+    memcpy(out+i*4,acc.v,32);
+  }
+}
+
 // Field inversion, Montgomery-batched (in/out Montgomery form). One
 // Fermat exponentiation (a^(p-2), ~254 squarings) is shared across the
 // whole batch via prefix products; singles cost ~6 us vs CPython's ~22 us

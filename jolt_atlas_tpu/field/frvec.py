@@ -161,6 +161,12 @@ def _load():
                                 vp, ctypes.c_int64, vp, ctypes.c_int64,
                                 ctypes.c_int, vp, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int, vp, vp]),
+            ("frv_matvec_small", [vp, vp, ctypes.c_int64, vp]),
+            ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
+            ("frv_horner_multi", [vp, vp, ctypes.c_int64, vp, vp]),
+            ("frv_unipoly_hint_interp", [vp, ctypes.c_int64, vp, vp, vp]),
+            ("frv_gruen_assemble", [vp, ctypes.c_int64, vp, vp, vp, vp,
+                                    vp, vp, vp, vp]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -466,7 +472,7 @@ class FusedInstance:
     """
 
     MAXE = 20
-    MAXP = 48
+    MAXP = 96  # matches the csrc kernel stack cap (frvec.cpp MAXP)
     MAXA = 16
 
     def __init__(self, rows: list[FrArray], terms):
@@ -497,7 +503,7 @@ class FusedInstance:
                                   self.T, self.aux_offsets.ctypes.data,
                                   self.aux_fidx.ctypes.data,
                                   self.A, out.ctypes.data)
-        return FrArray(out).to_fr_list()
+        return FrArray(out)
 
     def bind(self, r: Fr) -> None:
         if self._rows_shared:
@@ -572,7 +578,7 @@ class GruenInstance:
     """
 
     MAXE = 20
-    MAXP = 48
+    MAXP = 96  # matches the csrc kernel stack cap (frvec.cpp MAXP)
     MAXA = 16
 
     def __init__(self, rows: list, terms, max_degree: int):
@@ -720,7 +726,7 @@ class GruenInstance:
             self._ptrs = optrs
             self._rows_shared = False
             self.n = half
-            return FrArray(out).to_fr_list()
+            return FrArray(out)
         if self._int_mode:
             if not self._int_ok:
                 self._promote()
@@ -732,7 +738,7 @@ class GruenInstance:
                    self._ifidx.ctypes.data, len(self.terms),
                    whi_a.ctypes.data, whi_n, whi_shift, wlo_a.ctypes.data,
                    log_wlo, out.ctypes.data)
-                return FrArray(out).to_fr_list()
+                return FrArray(out)
         coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
             self._field_encoding()
         _load().frv_gruen_round_p(self._ptrs, self.P, self.n, nevals,
@@ -743,7 +749,7 @@ class GruenInstance:
                                   whi_a.ctypes.data, whi_n, whi_shift,
                                   wlo_a.ctypes.data, log_wlo,
                                   out.ctypes.data)
-        return FrArray(out).to_fr_list()
+        return FrArray(out)
 
     # -- binding -----------------------------------------------------------
     def bind(self, r: Fr) -> None:
@@ -941,3 +947,124 @@ def i64_mat_vec(m: np.ndarray, x: FrArray) -> FrArray:
     out = np.empty((V, 4), dtype=np.uint64)
     _load().frv_i64_mat_vec(mm.reshape(-1), _c(x.d), V, E, out)
     return FrArray(out)
+
+
+def matvec_small(m_limbs: np.ndarray, x: "FrArray") -> "FrArray":
+    """out = M @ x for a small n x n Montgomery limb matrix ((n*n, 4))."""
+    n = len(x)
+    assert len(m_limbs) == n * n
+    out = np.empty((n, 4), dtype=np.uint64)
+    _load().frv_matvec_small(_c(m_limbs).ctypes.data, _c(x.d).ctypes.data,
+                             n, out.ctypes.data)
+    return FrArray(out)
+
+
+def unipoly_hint_interp(evals: "FrArray", hint: Fr,
+                        vinv_limbs: np.ndarray) -> "FrArray":
+    """UniPoly coefficients from the eval ladder [P(0), P(2), ..., P(d)]
+    plus the round-claim hint (P(1) = hint - P(0)); one fused C call
+    (mirrors UniPoly::from_evals of joltworks/src/poly/unipoly.rs)."""
+    nev = len(evals)
+    assert len(vinv_limbs) == (nev + 1) * (nev + 1)
+    out = np.empty((nev + 1, 4), dtype=np.uint64)
+    _load().frv_unipoly_hint_interp(_c(evals.d).ctypes.data, nev,
+                                    _fr_limbs_cached(hint).ctypes.data,
+                                    _c(vinv_limbs).ctypes.data,
+                                    out.ctypes.data)
+    return FrArray(out)
+
+
+def gruen_assemble(qev: "FrArray", claim: Fr, es: Fr, es_inv: Fr, l0: Fr,
+                   l1: Fr, l1_inv: Fr, vinv_limbs: np.ndarray) -> "FrArray":
+    """s(X) = es * l(X) * q(X) coefficients from the Gruen product evals
+    [q(0), q(2), ..., q(d)] in one C call (sumcheck.py _gruen_assemble)."""
+    nq = len(qev)
+    assert len(vinv_limbs) == (nq + 1) * (nq + 1)
+    out = np.empty((nq + 2, 4), dtype=np.uint64)
+    # bind every cached limb row to a local BEFORE taking .ctypes.data:
+    # a later _fr_limbs_cached lookup may evict the cache (its only
+    # reference), freeing rows whose raw pointers were already taken
+    cl, esl, esil = (_fr_limbs_cached(claim), _fr_limbs_cached(es),
+                     _fr_limbs_cached(es_inv))
+    l0l, l1l, l1il = (_fr_limbs_cached(l0), _fr_limbs_cached(l1),
+                      _fr_limbs_cached(l1_inv))
+    _load().frv_gruen_assemble(
+        _c(qev.d).ctypes.data, nq, cl.ctypes.data, esl.ctypes.data,
+        esil.ctypes.data, l0l.ctypes.data, l1l.ctypes.data,
+        l1il.ctypes.data, _c(vinv_limbs).ctypes.data, out.ctypes.data)
+    return FrArray(out)
+
+
+def horner_fr(coeffs: "FrArray", u: Fr) -> Fr:
+    """sum_i coeffs[i] * u^i on Montgomery limb coefficients."""
+    out = np.zeros((1, 4), dtype=np.uint64)
+    _load().frv_horner(_c(coeffs.d), _fr_limbs_cached(u), len(coeffs), out)
+    return FrArray(out).item(0)
+
+
+class RoundBatch:
+    """One batched-sumcheck round's instance messages: pointer/length
+    tables built once, shared by the accumulate (frv_axpy_multi) and
+    challenge-evaluation (frv_horner_multi) calls — two C calls per round
+    total, regardless of instance count."""
+
+    __slots__ = ("arrs", "K", "_ptrs", "_lens")
+
+    def __init__(self, arrs: list["FrArray"]):
+        self.arrs = arrs  # keeps every message's limb buffer alive
+        self.K = len(arrs)
+        self._ptrs = np.fromiter((a.d.ctypes.data for a in arrs),
+                                 dtype=np.uintp, count=self.K)
+        self._lens = np.fromiter((len(a.d) for a in arrs),
+                                 dtype=np.int64, count=self.K)
+
+    def maxlen(self) -> int:
+        return int(self._lens.max()) if self.K else 0
+
+    def accumulate(self, acc: "FrArray", scalars: list) -> None:
+        """acc[:len(p_i)] += scalars[i] * p_i for every message."""
+        # bind cached rows to a local list before taking raw pointers
+        # (cache eviction frees rows whose pointers were already taken)
+        rows = [_fr_limbs_cached(s) for s in scalars]
+        sl = np.concatenate(rows) if rows else _DUMMY_U64
+        _load().frv_axpy_multi(acc.d.ctypes.data, self._ptrs.ctypes.data,
+                               self._lens.ctypes.data, sl.ctypes.data,
+                               self.K)
+
+    def horner(self, r: Fr) -> list[Fr]:
+        """[p_i(r)] in one C call; results are batch-decoded and their
+        limb rows seeded into the scalar cache (each claim immediately
+        returns as the hint of the next round's message)."""
+        K = self.K
+        out = np.empty((K, 4), dtype=np.uint64)
+        _load().frv_horner_multi(self._ptrs.ctypes.data,
+                                 self._lens.ctypes.data, K,
+                                 _fr_limbs_cached(r).ctypes.data,
+                                 out.ctypes.data)
+        can = np.empty_like(out)
+        _load().frv_decode(out.ctypes.data, can.ctypes.data, K)
+        b = can.tobytes()
+        res = []
+        cache = _SCALAR_CACHE
+        for i in range(K):
+            f = Fr(int.from_bytes(b[32 * i: 32 * i + 32], "little"))
+            if f.v not in cache:
+                cache[f.v] = np.ascontiguousarray(out[i: i + 1])
+            res.append(f)
+        return res
+
+
+def mul_seed_cache(a: Fr, b: Fr) -> Fr:
+    """a * b where the product's Montgomery limb row is derived from the
+    factors' cached rows with one 1-element C multiply and seeded into the
+    scalar cache (avoids the ~10x costlier to_bytes+encode when the
+    product is next used as a kernel argument)."""
+    prod = a * b
+    if prod.v not in _SCALAR_CACHE:
+        ra, rb = _fr_limbs_cached(a), _fr_limbs_cached(b)
+        out = np.empty((1, 4), dtype=np.uint64)
+        _load().frv_mul(ra.ctypes.data, rb.ctypes.data, out.ctypes.data, 1)
+        if len(_SCALAR_CACHE) > 4096:
+            _SCALAR_CACHE.clear()
+        _SCALAR_CACHE[prod.v] = out
+    return prod

@@ -6,6 +6,15 @@ term (the verifier recovers it from the round claim via
 linear = claim - 2*c0 - c2 - ... ), and transcript absorption wraps the
 compressed coefficients in UniPoly_begin/UniPoly_end marker messages
 (unipoly.rs:504-557).
+
+Coefficients live in one of two interchangeable backings:
+  - a list of Python `Fr` (verifier paths, deserialized proofs), or
+  - an `FrArray` of Montgomery limb rows (prover hot path) — the round
+    loops then run interpolation / scale-accumulate / Horner evaluation /
+    transcript byte framing as single C calls (csrc/frvec.cpp
+    frv_unipoly_hint_interp / frv_axpy / frv_horner) instead of per-
+    coefficient bigint arithmetic.
+Conversion is lazy and cached; protocol bytes are identical either way.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from ..field.scalar import Fr, batch_inverse
 
 
 _VINV_CACHE: dict[int, list[list[Fr]]] = {}
+_VINV_LIMBS_CACHE: dict[int, "object"] = {}
 
 
 def _vinv(n: int) -> list[list[Fr]]:
@@ -42,6 +52,17 @@ def _vinv(n: int) -> list[list[Fr]]:
     return inv
 
 
+def vinv_limbs(n: int):
+    """Flattened (n*n, 4) Montgomery limb form of _vinv(n) for the C
+    interpolation kernels."""
+    got = _VINV_LIMBS_CACHE.get(n)
+    if got is None:
+        from ..field.frvec import FrArray
+        flat = [x for row in _vinv(n) for x in row]
+        got = _VINV_LIMBS_CACHE[n] = FrArray.from_fr_list(flat).d
+    return got
+
+
 def _interpolate_at_0_to_d(evals: list[Fr]) -> list[Fr]:
     """Lagrange interpolation through points (0, e0), ..., (d, ed) -> coeffs."""
     n = len(evals)
@@ -57,56 +78,135 @@ def _interpolate_at_0_to_d(evals: list[Fr]) -> list[Fr]:
 
 
 class UniPoly:
-    __slots__ = ("coeffs",)
+    __slots__ = ("_coeffs", "_arr")
 
-    def __init__(self, coeffs: list[Fr]):
-        self.coeffs = list(coeffs)
+    def __init__(self, coeffs=None, arr=None):
+        self._coeffs = list(coeffs) if coeffs is not None else None
+        self._arr = arr
+        assert self._coeffs is not None or self._arr is not None
+
+    @property
+    def coeffs(self) -> list[Fr]:
+        if self._coeffs is None:
+            self._coeffs = self._arr.to_fr_list()
+        return self._coeffs
+
+    def ncoeffs(self) -> int:
+        if self._coeffs is not None:
+            return len(self._coeffs)
+        return len(self._arr)
+
+    def arr(self):
+        """FrArray limb backing (converting and caching if list-backed).
+        Small coefficient lists convert through the scalar limb cache —
+        constant round polys (claim * 2^k) are seeded there by _mul_pow2,
+        so the common case is a cache-hit concat, not an encode pass."""
+        if self._arr is None:
+            import numpy as np
+            from ..field import frvec
+            from ..field.frvec import FrArray
+            c = self._coeffs
+            if len(c) <= 4:
+                rows = [frvec._fr_limbs_cached(x) for x in c]
+                self._arr = FrArray(
+                    np.concatenate(rows) if rows
+                    else np.empty((0, 4), dtype=np.uint64))
+            else:
+                self._arr = FrArray.from_fr_list(c)
+        return self._arr
 
     @classmethod
-    def from_evals(cls, evals: list[Fr]) -> "UniPoly":
-        """Interpolate from evaluations at 0, 1, ..., d."""
+    def from_evals(cls, evals) -> "UniPoly":
+        """Interpolate from evaluations at 0, 1, ..., d. `evals` may be a
+        list of Fr or an FrArray (native interpolation)."""
+        if not isinstance(evals, list):
+            from ..field import frvec
+            if frvec.available():
+                n = len(evals)
+                arr = frvec.matvec_small(vinv_limbs(n), evals)
+                return cls(arr=arr)
+            evals = evals.to_fr_list()
         return cls(_interpolate_at_0_to_d(evals))
 
     @classmethod
-    def from_evals_and_hint(cls, hint: Fr, evals: list[Fr]) -> "UniPoly":
+    def from_evals_and_hint(cls, hint: Fr, evals) -> "UniPoly":
         """evals = [P(0), P(2), P(3), ..., P(d)]; P(1) = hint - P(0)."""
+        if not isinstance(evals, list):
+            from ..field import frvec
+            if frvec.available():
+                arr = frvec.unipoly_hint_interp(evals, hint,
+                                                vinv_limbs(len(evals) + 1))
+                return cls(arr=arr)
+            evals = evals.to_fr_list()
         full = [evals[0], hint - evals[0]] + list(evals[1:])
         return cls.from_evals(full)
 
     def degree(self) -> int:
-        return len(self.coeffs) - 1
+        return self.ncoeffs() - 1
 
     def evaluate(self, x: Fr) -> Fr:
+        if self._coeffs is None:
+            from ..field import frvec
+            return frvec.horner_fr(self._arr, x)
         acc = Fr.zero()
-        for c in reversed(self.coeffs):
+        for c in reversed(self._coeffs):
             acc = acc * x + c
         return acc
 
     def __add__(self, other: "UniPoly") -> "UniPoly":
-        n = max(len(self.coeffs), len(other.coeffs))
-        a = self.coeffs + [Fr.zero()] * (n - len(self.coeffs))
-        b = other.coeffs + [Fr.zero()] * (n - len(other.coeffs))
+        if self._coeffs is None or other._coeffs is None:
+            from ..field.frvec import FrArray
+            a, b = self.arr(), other.arr()
+            if len(a) < len(b):
+                a, b = b, a
+            out = FrArray(a.d.copy())
+            out.axpy_inplace(Fr.one(), b)
+            return UniPoly(arr=out)
+        n = max(len(self._coeffs), len(other._coeffs))
+        a = self._coeffs + [Fr.zero()] * (n - len(self._coeffs))
+        b = other._coeffs + [Fr.zero()] * (n - len(other._coeffs))
         return UniPoly([x + y for x, y in zip(a, b)])
 
     def scale(self, k: Fr) -> "UniPoly":
-        return UniPoly([c * k for c in self.coeffs])
+        if self._coeffs is None:
+            return UniPoly(arr=self._arr.scale(k))
+        return UniPoly([c * k for c in self._coeffs])
 
     def compress(self) -> "CompressedUniPoly":
-        if len(self.coeffs) < 2:
-            return CompressedUniPoly(list(self.coeffs))
-        return CompressedUniPoly([self.coeffs[0]] + self.coeffs[2:])
+        if self._coeffs is None and self.ncoeffs() >= 2:
+            import numpy as np
+            from ..field.frvec import FrArray
+            d = self._arr.d
+            return CompressedUniPoly(
+                arr=FrArray(np.ascontiguousarray(
+                    np.concatenate([d[0:1], d[2:]]))))
+        c = self.coeffs
+        if len(c) < 2:
+            return CompressedUniPoly(list(c))
+        return CompressedUniPoly([c[0]] + c[2:])
 
 
 class CompressedUniPoly:
     """Round poly with the linear term omitted (recovered from the claim)."""
 
-    __slots__ = ("coeffs_except_linear_term",)
+    __slots__ = ("_coeffs", "_arr")
 
-    def __init__(self, coeffs_except_linear_term: list[Fr]):
-        self.coeffs_except_linear_term = list(coeffs_except_linear_term)
+    def __init__(self, coeffs_except_linear_term=None, arr=None):
+        self._coeffs = (list(coeffs_except_linear_term)
+                        if coeffs_except_linear_term is not None else None)
+        self._arr = arr
+        assert self._coeffs is not None or self._arr is not None
+
+    @property
+    def coeffs_except_linear_term(self) -> list[Fr]:
+        if self._coeffs is None:
+            self._coeffs = self._arr.to_fr_list()
+        return self._coeffs
 
     def degree(self) -> int:
-        return len(self.coeffs_except_linear_term)
+        if self._coeffs is not None:
+            return len(self._coeffs)
+        return len(self._arr)
 
     def _linear_term(self, hint: Fr) -> Fr:
         c = self.coeffs_except_linear_term
@@ -126,13 +226,23 @@ class CompressedUniPoly:
         # one absorb for the whole message (framing byte + coefficient
         # bytes): ~8 sumcheck-round hash updates collapse to 1 — measured
         # ~0.1 s/verify of hashlib call overhead on the bench model
+        if self._coeffs is None:
+            # canonical (LE-limb) rows -> big-endian 32-byte words in one
+            # vectorized pass; byte-identical to Fr.to_bytes_be per coeff
+            can = self._arr.canonical()
+            transcript.append_bytes(
+                b"UniPoly\x01" + can[:, ::-1].byteswap().tobytes())
+            return
         transcript.append_bytes(
             b"UniPoly\x01"
-            + b"".join(c.to_bytes_be() for c in self.coeffs_except_linear_term))
+            + b"".join(c.to_bytes_be() for c in self._coeffs))
 
     def serialize(self) -> bytes:
-        out = len(self.coeffs_except_linear_term).to_bytes(8, "little")
-        for c in self.coeffs_except_linear_term:
+        if self._coeffs is None:
+            can = self._arr.canonical()
+            return len(can).to_bytes(8, "little") + can.tobytes()
+        out = len(self._coeffs).to_bytes(8, "little")
+        for c in self._coeffs:
             out += c.to_bytes_le()
         return out
 

@@ -177,22 +177,31 @@ class RowsInstance:
             pts = self._gruen.round_points(max(1, d), whi, whi_shift, wlo,
                                            log_wlo)
             if es.v != one.v:
-                pts = [es * p for p in pts]
+                pts = (pts.scale(es) if not isinstance(pts, list)
+                       else [es * p for p in pts])
             return UniPoly.from_evals_and_hint(previous_claim, pts)
         dq = max(1, d - 1)
         qev = self._gruen.round_points(dq, whi, whi_shift, wlo, log_wlo)
         return self._gruen_assemble(previous_claim, qev)
 
-    def _gruen_assemble(self, previous_claim: Fr, qev: list) -> UniPoly:
+    def _gruen_assemble(self, previous_claim: Fr, qev) -> UniPoly:
         """s(X) = es * l(X) * q(X) from q's evals [q(0), q(2), ...] — the
         shared tail of every Gruen-weighted round message (the caller may
         compute qev by any engine: dense rows, device fleet, or the sparse
-        one-hot schedule in onehot.BooleanityProver)."""
+        one-hot schedule in onehot.BooleanityProver). Limb-array qev takes
+        the one-call native path (csrc frv_gruen_assemble)."""
         from ..poly.spliteq import inv_cached
         se = self._se
         es = se.scalar
         one = Fr.one()
         l0, l1 = se.l_linear(self._rows_round)
+        if not isinstance(qev, list):
+            from ..field import frvec
+            from ..poly.unipoly import vinv_limbs
+            arr = frvec.gruen_assemble(
+                qev, previous_claim, es, se.scalar_inv, l0, l1,
+                inv_cached(l1), vinv_limbs(len(qev) + 1))
+            return UniPoly(arr=arr)
         q0 = qev[0]
         # claim = es * (l(0) q(0) + l(1) q(1))  =>  recover q(1)
         q1 = (previous_claim * se.scalar_inv - l0 * q0) * inv_cached(l1)
@@ -287,8 +296,52 @@ class SumcheckInstanceProof:
         return cls(polys), offset
 
 
+class _RoundCtx:
+    """Per-round batching context: limb-native (2 C calls/round via
+    frvec.RoundBatch — the accumulate and the challenge evaluation) when
+    the C library is up, per-poly Python Fr arithmetic otherwise.
+    Mirrors the round loop of reference sumcheck.rs:119-131."""
+
+    __slots__ = ("polys", "rb")
+
+    def __init__(self, polys: list[UniPoly]):
+        from ..field import frvec
+        self.polys = polys
+        self.rb = (frvec.RoundBatch([p.arr() for p in polys])
+                   if frvec.available() else None)
+
+    def batched(self, coeffs: list[Fr]) -> UniPoly:
+        if self.rb is not None:
+            from ..field.frvec import FrArray
+            acc = FrArray.zeros(self.rb.maxlen())
+            self.rb.accumulate(acc, coeffs)
+            return UniPoly(arr=acc)
+        batched = UniPoly([])
+        for poly, coeff in zip(self.polys, coeffs):
+            batched = batched + poly.scale(coeff)
+        return batched
+
+    def claims(self, r: Fr) -> list[Fr]:
+        if self.rb is not None:
+            return self.rb.horner(r)
+        return [p.evaluate(r) for p in self.polys]
+
+
+_POW2_FR: dict[int, Fr] = {}
+
+
 def _mul_pow2(x: Fr, k: int) -> Fr:
-    return x * Fr(1 << k) if k else x
+    if not k:
+        return x
+    f = _POW2_FR.get(k)
+    if f is None:
+        f = _POW2_FR[k] = Fr(1 << k)
+    from ..field import frvec
+    if frvec.available():
+        # derive the product's limb row from the factors' cached rows (it
+        # is used as a kernel argument in the same round)
+        return frvec.mul_seed_cache(x, f)
+    return x * f
 
 
 class zk_mode:
@@ -405,14 +458,12 @@ class BatchedSumcheck:
                     offset = max_rounds - nr
                     polys.append(inst.compute_message(rnd - offset, prev))
 
-            batched = UniPoly([])
-            for poly, coeff in zip(polys, coeffs):
-                batched = batched + poly.scale(coeff)
-            cp = batched.compress()
+            ctx = _RoundCtx(polys)
+            cp = ctx.batched(coeffs).compress()
             cp.append_to_transcript(transcript)
             r_j = transcript.challenge_scalar_optimized()
             r_sumcheck.append(r_j)
-            individual_claims = [p.evaluate(r_j) for p in polys]
+            individual_claims = ctx.claims(r_j)
             for inst in instances:
                 if remaining <= inst.num_rounds():
                     offset = max_rounds - inst.num_rounds()
@@ -450,14 +501,12 @@ class BatchedSumcheck:
                 else:
                     offset = max_rounds - nr
                     polys.append(inst.compute_message(rnd - offset, prev))
-            batched = UniPoly([])
-            for poly, coeff in zip(polys, coeffs):
-                batched = batched + poly.scale(coeff)
-            cp = batched.compress()
+            ctx = _RoundCtx(polys)
+            cp = ctx.batched(coeffs).compress()
             cp.append_to_transcript(transcript)
             r_j = transcript.challenge_scalar_optimized()
             r_sumcheck.append(r_j)
-            individual_claims = [p.evaluate(r_j) for p in polys]
+            individual_claims = ctx.claims(r_j)
             for inst in instances:
                 if remaining <= inst.num_rounds():
                     offset = max_rounds - inst.num_rounds()
