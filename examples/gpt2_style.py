@@ -31,8 +31,13 @@ def main(argv: list[str]) -> int:
     argv = [a for a in argv if a not in ("--full", "--fullvocab")]
     vocab = "50257" if fullvocab else "8192"
     if full:
-        cfg = ["--blocks", "12", "--dim", "768", "--seq", "16",
-               "--vocab", vocab, "--heads", "12"]
+        # the reference pads every tensor dim to a power of two at load
+        # (atlas-onnx-tracer model/load.rs:504): GPT-2's 768-dim / 12-head
+        # tensors prove as 1024-dim / 16-head zero-padded shapes, vocab
+        # 50257 -> 65536. This is the shape the reference's 14.9 s
+        # flagship number actually pays for (README.md:66-73).
+        cfg = ["--blocks", "12", "--dim", "1024", "--seq", "16",
+               "--vocab", vocab, "--heads", "16"]
     else:
         cfg = ["--blocks", "2", "--dim", "128", "--seq", "16",
                "--vocab", vocab, "--heads", "4"]

@@ -113,10 +113,15 @@ class KZGSRS:
             return None
         try:
             from ..tpu import linkcal
-            if mode == "auto" and linkcal.cached_nonviable():
-                telemetry.decide("msm", "link nonviable (persisted cal: "
-                                 + linkcal.cached_summary() + ")")
-                return None   # known-slow link: skip backend init entirely
+            if mode == "auto":
+                # per-engine byte-plan gate (NOT the global min(up,down)
+                # link gate — the MSM engine uploads 32 B/point and
+                # fetches ~100 bytes, so the down-link is irrelevant):
+                # persisted decision first to skip the ~10 s backend init
+                cached = linkcal.cached_msm_decision(prep.n)
+                if cached is not None and not cached[0]:
+                    telemetry.decide("msm", "declined: " + cached[1])
+                    return None
             from ..tpu import msm as tmsm
             if not tmsm.available():
                 return None
@@ -124,18 +129,19 @@ class KZGSRS:
                 import jax
                 from ..tpu.fqplanes import PlanesCtx
                 from ..field.constants import FR_MODULUS
-                if (jax.default_backend() == "cpu"
-                        or not linkcal.device_path_viable(
-                            jax, PlanesCtx(FR_MODULUS))):
-                    telemetry.decide(
-                        "msm", "cpu backend" if jax.default_backend() == "cpu"
-                        else "link nonviable (measured: "
-                             + linkcal.cached_summary() + ")")
+                if jax.default_backend() == "cpu":
+                    telemetry.decide("msm", "cpu backend")
                     return None
+                ok, why = linkcal.msm_engine_decision(
+                    prep.n, jax, PlanesCtx(FR_MODULUS))
+                if not ok:
+                    telemetry.decide("msm", "declined: " + why)
+                    return None
+                telemetry.decide("msm", "ENGAGED: " + why)
+            else:
+                telemetry.decide("msm", "ENGAGED (forced)")
             self._device = tmsm.DeviceBases(prep.buf.raw, prep.n)
             self._device_failed = False
-            telemetry.decide("msm", f"ENGAGED ({prep.n} device-resident "
-                             "bases)")
         except Exception:
             return None
         return self._device

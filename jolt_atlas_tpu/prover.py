@@ -140,6 +140,23 @@ class AtlasProver:
                     pts = prep.msm_onehot_batch(
                         [poly_map[p].onehot_indices for p in oh_pids])
                     commitments.update(zip(oh_pids, pts))
+                # vocab-scale dense witnesses (GPT-2 fullvocab LM head)
+                # stream through the two-tier chunked committer so the
+                # 32 B/coeff packed scalar buffer is never resident at
+                # full length (reference StreamingCommitmentScheme,
+                # commitment_scheme.rs:133)
+                STREAM_MIN = 1 << 21
+                big_pids = [p for p in dn_pids
+                            if len(poly_map[p]) >= STREAM_MIN
+                            and poly_map[p].ints is not None]
+                dn_pids = [p for p in dn_pids if p not in set(big_pids)]
+                for pid in big_pids:
+                    from .commitment.scheme import StreamingCommitter
+                    sc = StreamingCommitter(self.pp.srs)
+                    ints = poly_map[pid].ints
+                    for off in range(0, len(ints), STREAM_MIN):
+                        sc.process(ints[off:off + STREAM_MIN])
+                    commitments[pid] = sc.finalize()
                 if dn_pids:
                     # dense witness commits ride the device Pippenger when
                     # the link calibration clears it (tpu/msm.py), else the

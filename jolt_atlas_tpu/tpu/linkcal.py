@@ -51,6 +51,50 @@ def _cal_path() -> str:
     return os.path.join(base, "link_calibration.json")
 
 
+def _measure_pallas_adds(jax) -> float:
+    """Fused Pallas complete-add throughput (adds/s) on a 2^17-lane batch —
+    the unit cost of the device MSM engine's bucket accumulation. One-time
+    ~20 s kernel compile, persisted with the calibration."""
+    import numpy as np
+    from . import curveops, pallas_curve
+    from ..curve.points import g1_generator
+    n = 1 << 17
+    g = g1_generator()
+    P = curveops.points_to_planes([g] * 8)
+    jnp = jax.numpy
+    tile = tuple(jnp.asarray(np.tile(np.asarray(p), (1, n // 8)))
+                 for p in P)
+    r = pallas_curve.pp_add(tile, tile)
+    _ = np.asarray(r[0][:, :1])  # true sync through the relay
+    t0 = time.time()
+    for _ in range(5):
+        r = pallas_curve.pp_add(tile, tile)
+    _ = np.asarray(r[0][:, :1])
+    return 5 * n / max(time.time() - t0, 1e-6)
+
+
+def _measure_host_msm(npts: int = 1 << 14) -> float:
+    """Host batch-affine Pippenger points/s at 254-bit (csrc/msm.cpp) —
+    the competing engine's unit cost."""
+    import numpy as np
+    from ..commitment.kzg import KZGSRS
+    from ..curve.native import pack_scalars
+    from ..field.constants import FR_MODULUS
+    from ..field.scalar import Fr
+    srs = KZGSRS.setup(npts - 1)
+    prep = srs.prepared_bases()
+    if prep is None:
+        return 0.0
+    rng = np.random.default_rng(11)
+    packed = pack_scalars([
+        Fr(int.from_bytes(rng.bytes(32), "little") % FR_MODULUS)
+        for _ in range(npts)])
+    prep.msm_packed(packed, npts)  # warm
+    t0 = time.time()
+    prep.msm_packed(packed, npts)
+    return npts / max(time.time() - t0, 1e-6)
+
+
 def _measure(jax, FR) -> dict:
     """~16 MB up, ~16 MB down, one 64k-element q0-shaped micro round."""
     jnp = jax.numpy
@@ -94,13 +138,25 @@ def _measure(jax, FR) -> dict:
     r.block_until_ready()
     round_s = (time.time() - t0) / 3
 
-    return {
+    cal = {
         "backend": jax.default_backend(),
         "up_MBps": round(mb / up_s, 1),
         "down_MBps": round(down_mbps, 1),
         "round_64k_s": round(round_s, 4),
         "ts": time.time(),
     }
+    # per-engine unit costs (MSM byte-plan gate): fused Pallas add rate on
+    # this chip and the host Pippenger rate on this box. Both persisted —
+    # the Pallas probe pays a one-time ~20 s kernel compile.
+    try:
+        cal["pallas_adds_per_s"] = round(_measure_pallas_adds(jax), 0)
+    except Exception:
+        cal["pallas_adds_per_s"] = 0.0
+    try:
+        cal["host_msm_pps"] = round(_measure_host_msm(), 0)
+    except Exception:
+        cal["host_msm_pps"] = 0.0
+    return cal
 
 
 def get(jax, FR) -> dict | None:
@@ -118,7 +174,8 @@ def get(jax, FR) -> dict | None:
         # tunneled runtimes change bandwidth run to run (observed: down
         # 0.0 MB/s one session, 30 MB/s the next). Expire after 12 h.
         if (data.get("backend") == backend
-                and time.time() - data.get("ts", 0) < 12 * 3600):
+                and time.time() - data.get("ts", 0) < 12 * 3600
+                and "pallas_adds_per_s" in data):  # pre-engine-gate cals
             _CACHED = data
             return data
     except (OSError, ValueError):
@@ -171,8 +228,64 @@ def cached_nonviable() -> bool:
 
 
 def device_path_viable(jax, FR) -> bool:
-    """True when the measured link clears the engage thresholds."""
+    """True when the measured link clears the engage thresholds (the
+    bandwidth-heavy engines: opening reduction / IOP head rounds, which
+    move ~90 B/elem up and run a chatty dispatch schedule)."""
     cal = get(jax, FR)
     if cal is None:
         return False
     return _clears(cal)
+
+
+def cached_msm_decision(n_points: int) -> tuple[bool, str] | None:
+    """msm_engine_decision from the persisted calibration only (no jax
+    import / backend init); None when no fresh calibration exists."""
+    try:
+        with open(_cal_path()) as f:
+            cal = json.load(f)
+        if (time.time() - cal.get("ts", 0) >= 12 * 3600
+                or "pallas_adds_per_s" not in cal):
+            return None  # stale or pre-engine-gate: re-measure via get()
+    except (OSError, ValueError):
+        return None
+    global _CACHED
+    _CACHED = cal
+    return _model_msm(n_points, cal)
+
+
+def msm_engine_decision(n_points: int, jax, FR) -> tuple[bool, str]:
+    """Byte-plan gate for the device MSM engine, modeled per MSM size —
+    NOT the global min(up,down) link gate: the MSM uploads 32 B/point of
+    scalars plus a ~4 B/(point*window) digit grid and fetches ~100 bytes,
+    so a dead *down*-link is irrelevant to it; what decides is whether the
+    chip's measured fused-add rate beats the host Pippenger after paying
+    the upload and the host-side grid build (round-3 verdict item 2).
+
+    Returns (engage, human-readable reason with the modeled seconds)."""
+    cal = get(jax, FR)
+    if cal is None:
+        return False, "no calibration"
+    return _model_msm(n_points, cal)
+
+
+def _model_msm(n_points: int, cal: dict) -> tuple[bool, str]:
+    up = cal.get("up_MBps", 0.0) or 1e-3
+    adds_ps = cal.get("pallas_adds_per_s", 0.0)
+    host_pps = cal.get("host_msm_pps", 0.0)
+    if not adds_ps:
+        return False, "no pallas add-rate calibration"
+    if not host_pps:
+        return True, "no host MSM engine"
+    W = 22 if n_points <= (1 << 16) else (19 if n_points <= (1 << 18)
+                                          else 16)
+    # device: scalar+grid upload, W window-adds per point with ~2x grid
+    # padding, host grid build at ~3M entries/s (numpy radix sort)
+    up_s = (n_points * 32 + n_points * W * 4) / (up * 1e6)
+    grid_s = n_points * W / 3e6
+    dev_s = up_s + grid_s + n_points * W * 2.0 / adds_ps
+    host_s = n_points / host_pps
+    msg = (f"modeled device {dev_s:.2f}s (up {up_s:.2f} + grid {grid_s:.2f}"
+           f" + adds) vs host {host_s:.2f}s at n=2^{n_points.bit_length()-1}"
+           f" [pallas {adds_ps/1e6:.0f}M adds/s, host "
+           f"{host_pps/1e3:.0f}k pts/s]")
+    return dev_s < 0.8 * host_s, msg

@@ -1,4 +1,4 @@
-"""TPU Pippenger MSM: bucket-grid accumulation + bit-plane bucket combine.
+"""TPU Pippenger MSM: Pallas bucket-grid accumulation + bit-plane combine.
 
 Plays the role of the reference's CPU Pippenger (joltworks/src/msm/mod.rs:
 20-333) for large full-width-scalar MSMs (HyperKZG fold commitments and
@@ -6,21 +6,24 @@ witness openings), redesigned for a SIMD machine:
 
 - Scalars are cut into c-bit windows on the host (vectorized numpy limb
   shifts) and each (window, bucket) pair becomes a *lane*. The host builds
-  a [lanes, depth] gather grid assigning every nonzero digit occurrence a
-  slot in its bucket's lane; depth = max bucket occupancy.
-- The device accumulates the grid in fixed-size row blocks with one
-  complete projective add per step under `lax.fori_loop` — every lane runs
-  the identical branch-free RCB15 formula (tpu/curveops.py), so bucket
-  conflicts cannot exist by construction (a lane IS a bucket) and padding
-  slots add the identity. Fixed block shapes mean exactly two kernels
-  compile per SRS regardless of MSM count or size (the remote-compile
-  relay takes ~2 min per shape; see tpu/__init__ persistent cache).
+  a [rows, L] gather grid assigning every nonzero digit occurrence a slot
+  in its bucket's lane; rows = max bucket occupancy (pow2-padded).
+- The device runs ONE jit per MSM: a `lax.fori_loop` over grid rows whose
+  body gathers the row's points and adds them into the lane accumulators
+  with the fused Pallas complete-add kernel (tpu/pallas_curve.py — the
+  whole RCB15 add stays in VMEM; measured ~30M adds/s on a v5e vs ~5.5M
+  for the op-by-op XLA planes path). Bucket conflicts cannot exist by
+  construction (a lane IS a bucket) and padding slots add the identity.
+- The top Pippenger window has only e = 254 - (W-1)c bits of entropy, so
+  one bucket would swallow ~n/2^e points; its digits are round-robined
+  over S = B / 2^e sub-lanes within the window's lane region
+  (lane = digit*S + occ mod S) and folded with log2(S) halving adds
+  before the combine — top-window depth equals every other window's.
 - Bucket-weighted reduction sum_b b*S_b avoids the reference's sequential
-  running-sum (2^c dependent adds) entirely: write b in binary, reduce the
-  bit-masked bucket planes with a two-level lane reduction, then a c-step
-  Horner of doublings — O(c + sqrt B) batched steps instead of O(2^c)
-  sequential ones. The combine runs once per *batch*, lanes stacked, so
-  its fixed cost amortizes over all MSMs in flight.
+  running-sum (2^c dependent adds): write b = h*Gl + l, reduce the
+  bucket planes along each half with suffix-sum loops of Pallas adds —
+  O(sqrt B) batched steps. The combine runs once per *batch*, lanes
+  stacked, so its fixed cost amortizes over all MSMs in flight.
 
 Work is enqueued asynchronously (dispatch returns futures); callers can
 overlap host compute with device accumulation via start()/finish().
@@ -32,11 +35,10 @@ import functools
 
 import numpy as np
 
-from ..field.constants import FQ_MODULUS
 
 class _GridSkewError(RuntimeError):
-    """Raised when a digit grid would be pathologically deep (low-entropy
-    window); callers fall back to the host Pippenger."""
+    """Raised when a digit grid would be pathologically deep (non-uniform
+    scalar distribution); callers fall back to the host Pippenger."""
 
     def __init__(self, depth: int, lanes: int):
         super().__init__(f"grid depth {depth} over {lanes} lanes")
@@ -44,8 +46,6 @@ class _GridSkewError(RuntimeError):
 
 # route to device only when the add-count amortizes dispatch + transfer
 _DEVICE_MIN_N = 1 << 15
-_WINDOW_C = 12
-_BLK = 32          # grid rows per accumulation call (fixed shape)
 _NBITS = 254
 
 _STATE = None  # lazy (jax, curveops) tuple or False if unusable
@@ -68,6 +68,16 @@ def available() -> bool:
     return bool(_state())
 
 
+def _pick_c(n: int) -> int:
+    """Window size by MSM size: total adds ~ n*W + pad; lane count 2^c * W
+    bounds padding waste at small n."""
+    if n <= (1 << 16):
+        return 12
+    if n <= (1 << 18):
+        return 14
+    return 16
+
+
 # ---------------------------------------------------------------------------
 # host-side digit grid construction
 # ---------------------------------------------------------------------------
@@ -88,55 +98,106 @@ def _digits(scalars_u64: np.ndarray, c: int) -> np.ndarray:
 
 
 def _grid(digits: np.ndarray, c: int) -> np.ndarray:
-    """(W, n) digits -> [M, W * B] int32 point-index grid (row blocks).
+    """(W, n) digits -> [rows, W * B] int32 point-index grid.
 
-    Lane w*B+b accumulates the points whose window-w digit equals b.
-    Digit 0 contributes nothing and is dropped. Empty slots are -1.
-    M is padded up to a multiple of _BLK.
+    Lane w*B+b accumulates the points whose window-w digit equals b, except
+    the top window, whose digit d spreads over sub-lanes [d*S, (d+1)*S)
+    round-robin (S = B / 2^topbits — the fold happens on device). Digit 0
+    contributes nothing and is dropped. Empty slots are -1. rows is padded
+    to a power of two (padding rows add the identity on device).
     """
     W, n = digits.shape
     B = 1 << c
-    lane = (np.arange(W, dtype=np.int64)[:, None] * B + digits).ravel()
+    topbits = _NBITS - (W - 1) * c
+    S = B >> topbits
+    lane = (np.arange(W, dtype=np.int64)[:, None] * B + digits)
+    if S > 1:
+        # round-robin the top window's occurrences over its sub-lanes
+        sub = np.arange(n, dtype=np.int64) % S
+        lane[W - 1] = (W - 1) * B + digits[W - 1].astype(np.int64) * S + sub
+    lane = lane.ravel()
     pt = np.broadcast_to(np.arange(n, dtype=np.int64), (W, n)).ravel()
-    keep = (digits.ravel() != 0)
+    keep = (digits != 0).ravel()
     lane, pt = lane[keep], pt[keep]
     order = np.argsort(lane, kind="stable")  # radix sort on ints
     lane, pt = lane[order], pt[order]
     counts = np.bincount(lane, minlength=W * B)
-    M = int(counts.max()) if len(lane) else 0
+    M = int(counts.max()) if len(lane) else 1
     avg = max(1, len(lane) // (W * B))
-    if M > max(64, 16 * avg):
-        # top-window skew: full-width scalars leave the last window only
-        # maxbits - (W-1)*c bits of entropy, so one bucket can swallow
-        # ~n/2 points and the dense grid explodes (observed 11.8 GB at
-        # 2^16 254-bit scalars). The host engine handles this case with a
-        # dense per-digit path (csrc/msm.cpp); here we refuse and let the
-        # caller fall back to it.
+    if M > max(64, 32 * avg):
+        # non-uniform scalars (all-equal, tiny support): the dense grid
+        # would explode; the host engine handles these with its dense
+        # per-digit path (csrc/msm.cpp). Refuse and let the caller fall
+        # back to it.
         raise _GridSkewError(M, W * B)
-    M = max(_BLK, -(-M // _BLK) * _BLK)
+    rows = max(16, -(-M // 16) * 16)  # pad to multiple of 16 (kernel reuse)
     offsets = np.zeros(W * B, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     slot = np.arange(len(lane), dtype=np.int64) - offsets[lane]
-    grid = np.full((M, W * B), -1, dtype=np.int32)
+    grid = np.full((rows, W * B), -1, dtype=np.int32)
     grid[slot, lane] = pt.astype(np.int32)
     return grid
 
 
 # ---------------------------------------------------------------------------
-# device kernels (two fixed shapes per SRS)
+# device kernels
 # ---------------------------------------------------------------------------
 
+def _use_pallas() -> bool:
+    """Mosaic (Pallas) kernels lower only on real TPU backends; the CPU
+    test mesh exercises the same grid/fold/combine structure through the
+    op-by-op XLA planes add (bit-identical formulas, tpu/curveops.py)."""
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pp_add_flat(P, Q):
+    """Fused Pallas complete add on (16, L) tuples, padding L up to the
+    kernel's 1024-lane granule (padding lanes carry garbage and are
+    sliced off); XLA planes add on non-TPU backends."""
+    import jax.numpy as jnp
+    if not _use_pallas():
+        from . import curveops
+        return curveops.pp_add(P, Q)
+    from . import pallas_curve
+    L = P[0].shape[-1]
+    G = pallas_curve._R * 128
+    Lp = -(-L // G) * G
+    if Lp != L:
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, Lp - L)))
+        P = tuple(pad(x) for x in P)
+        Q = tuple(pad(x) for x in Q)
+    R = pallas_curve.pp_add(P, Q)
+    if Lp != L:
+        R = tuple(x[:, :L] for x in R)
+    return R
+
+
+def _pp_add_nd(P, Q):
+    """Complete add on planes tuples of any trailing shape (16, ...)."""
+    shape = P[0].shape
+    flat = lambda x: x.reshape(16, -1)
+    R = _pp_add_flat(tuple(flat(x) for x in P), tuple(flat(x) for x in Q))
+    return tuple(x.reshape(shape) for x in R)
+
+
 @functools.lru_cache(maxsize=None)
-def _accum_kernel(c: int, W: int):
-    """(X, Y, Z bases, acc 3x(16,L), grid (BLK, L)) -> new acc."""
+def _accum_kernel(c: int, W: int, rows: int, S: int):
+    """One dispatch: grid accumulation + top-window sub-lane fold.
+
+    (X, Y, Z bases (16, n), grid (rows, L)) -> acc 3x(16, L) with the top
+    window folded into its 2^topbits bucket lanes (rest identity)."""
     jax, curveops = _state()
     jnp = jax.numpy
+    B = 1 << c
+    L = W * B
     mont_one = np.zeros(16, dtype=np.uint32)
     for i, l in enumerate(curveops.FQ.mont_one_limbs):
         mont_one[i] = l
 
-    def run(X, Y, Z, AX, AY, AZ, grid):
+    def run(X, Y, Z, grid):
         one_col = jnp.asarray(mont_one)[:, None]
+        acc = curveops.pp_identity(L)
 
         def body(m, acc):
             idx = jax.lax.dynamic_index_in_dim(grid, m, keepdims=False)
@@ -145,19 +206,32 @@ def _accum_kernel(c: int, W: int):
             Pg = (jnp.where(valid, X[:, ic], 0),
                   jnp.where(valid, Y[:, ic], one_col),
                   jnp.where(valid, Z[:, ic], 0))
-            return curveops.pp_add(acc, Pg)
+            return _pp_add_flat(acc, Pg)
 
-        return jax.lax.fori_loop(0, grid.shape[0], body, (AX, AY, AZ))
+        acc = jax.lax.fori_loop(0, rows, body, acc)
+        if S > 1:
+            # fold the top window's S sub-lanes per bucket by halving
+            base = (W - 1) * B
+            top = tuple(p[:, base:].reshape(16, B // S, S) for p in acc)
+            s = S
+            while s > 1:
+                s //= 2
+                top = _pp_add_nd(tuple(p[:, :, :s] for p in top),
+                                 tuple(p[:, :, s:2 * s] for p in top))
+            ident = curveops.pp_identity(B - B // S)
+            topfull = tuple(
+                jnp.concatenate([t.reshape(16, B // S), i1], axis=1)
+                for t, i1 in zip(top, ident))
+            acc = tuple(jnp.concatenate([p[:, :base], t], axis=1)
+                        for p, t in zip(acc, topfull))
+        return acc
 
     return jax.jit(run)
 
 
-def _reduce_axis1(jax, curveops, P):
+def _reduce_axis1(jax, P):
     """Sum planes tuple P (16, R, ...) over axis 1 with an R-1-step
-    `fori_loop` of full-width adds. Axis 1 slices are contiguous blocks
-    (fast layout); static shapes throughout — large one-shot tree graphs
-    wedge this environment's compile relay, and minor-axis dynamic slices
-    compile pathologically."""
+    `fori_loop` of fused Pallas adds."""
     R = P[0].shape[1]
     if R == 1:
         return tuple(p[:, 0] for p in P)
@@ -165,7 +239,7 @@ def _reduce_axis1(jax, curveops, P):
     def body(j, acc):
         nxt = tuple(jax.lax.dynamic_index_in_dim(p, j, axis=1,
                                                  keepdims=False) for p in P)
-        return curveops.pp_add(acc, nxt)
+        return _pp_add_nd(acc, nxt)
 
     acc = tuple(p[:, 0] for p in P)
     return jax.lax.fori_loop(1, R, body, acc)
@@ -178,17 +252,13 @@ def _combine_kernel(c: int, W: int, k: int):
     sum_b b*S_b with b = h*Gl + l splits into
         Gl * sum_h h*U_h + sum_l l*V_l,
     U_h = sum_l S_{h,l}, V_l = sum_h S_{h,l}: two plain reductions plus
-    two small running-sum weighted reductions — O(sqrt B) tiny batched
+    two small running-sum weighted reductions — O(sqrt B) batched Pallas
     steps instead of O(B) sequential adds, with every loop-carried tensor
     at most (16, k, W, sqrt B)."""
     jax, curveops = _state()
     jnp = jax.numpy
-    B = 1 << c
     ch = c // 2
     Gh, Gl = 1 << (c - ch), 1 << ch
-    mont_one = np.zeros(16, dtype=np.uint32)
-    for i, l in enumerate(curveops.FQ.mont_one_limbs):
-        mont_one[i] = l
 
     def ident_like(shape_tail):
         n = 1
@@ -207,8 +277,8 @@ def _combine_kernel(c: int, W: int, k: int):
             nxt = tuple(jax.lax.dynamic_index_in_dim(p, R - 1 - j, axis=1,
                                                      keepdims=False)
                         for p in P)
-            T = curveops.pp_add(T, nxt)
-            S = curveops.pp_add(S, T)
+            T = _pp_add_nd(T, nxt)
+            S = _pp_add_nd(S, T)
             return (S, T)
 
         S, _ = jax.lax.fori_loop(0, R - 1, body, (zero, zero))
@@ -218,19 +288,19 @@ def _combine_kernel(c: int, W: int, k: int):
         # (16, k, L) -> (16, k, W, Gh, Gl) -> put the reduce axis at pos 1
         S = tuple(p.reshape(16, k, W, Gh, Gl) for p in (AX, AY, AZ))
         Sl = tuple(jnp.moveaxis(p, 4, 1) for p in S)   # (16, Gl, k, W, Gh)
-        U = _reduce_axis1(jax, curveops, Sl)           # (16, k, W, Gh)
+        U = _reduce_axis1(jax, Sl)                     # (16, k, W, Gh)
         Sh = tuple(jnp.moveaxis(p, 3, 1) for p in S)   # (16, Gh, k, W, Gl)
-        V = _reduce_axis1(jax, curveops, Sh)           # (16, k, W, Gl)
+        V = _reduce_axis1(jax, Sh)                     # (16, k, W, Gl)
 
         Wh = weighted(tuple(jnp.moveaxis(p, 3, 1) for p in U))  # (16, k, W)
         Wl = weighted(tuple(jnp.moveaxis(p, 3, 1) for p in V))  # (16, k, W)
 
         # result = Gl * Wh + Wl  (Gl is a power of two: ch doublings)
         def dbl(i, Q):
-            return curveops.pp_add(Q, Q)
+            return _pp_add_nd(Q, Q)
 
         Wh = jax.lax.fori_loop(0, ch, dbl, Wh)
-        return curveops.pp_add(Wh, Wl)
+        return _pp_add_nd(Wh, Wl)
 
     return jax.jit(run)
 
@@ -274,31 +344,32 @@ class DeviceBases:
 
     # -- async batch -------------------------------------------------------
     def start(self, packed: list[bytes], counts: list[int],
-              c: int = _WINDOW_C):
+              c: int = 0):
         """Enqueue a batch of MSMs (canonical 32-byte-LE scalars against
         base prefixes). Device work proceeds asynchronously; pair with
         `finish()`. Returns an opaque handle."""
         from . import telemetry
         jax, curveops = _state()
         jnp = jax.numpy
+        if c == 0:
+            c = _pick_c(max(counts))
         W = (_NBITS + c - 1) // c
-        accum = _accum_kernel(c, W)
+        B = 1 << c
+        topbits = _NBITS - (W - 1) * c
+        S = B >> topbits
         accs = []
         for raw, count in zip(packed, counts):
             sc = np.frombuffer(raw, dtype=np.uint64,
                                count=count * 4).reshape(count, 4)
             grid = _grid(_digits(sc, c), c)
-            acc = curveops.pp_identity(W << c)
-            for m0 in range(0, grid.shape[0], _BLK):
-                blk = jnp.asarray(grid[m0:m0 + _BLK])
-                acc = accum(self.X, self.Y, self.Z, *acc, blk)
-                telemetry.count("msm")
-            accs.append(acc)
+            accum = _accum_kernel(c, W, grid.shape[0], S)
+            accs.append(accum(self.X, self.Y, self.Z, jnp.asarray(grid)))
+            telemetry.count("msm")
         # stack lanes and run one batched combine (pad batch to pow2)
         k = len(accs)
         kp = _pow2_pad(k)
         while len(accs) < kp:
-            accs.append(curveops.pp_identity(W << c))
+            accs.append(curveops.pp_identity(W * B))
         stacked = tuple(jnp.stack([a[i] for a in accs], axis=1)
                         for i in range(3))
         R = _combine_kernel(c, W, kp)(*stacked)
@@ -317,11 +388,11 @@ class DeviceBases:
         return out
 
     def msm_batch_packed(self, packed: list[bytes], counts: list[int],
-                         c: int = _WINDOW_C) -> list:
+                         c: int = 0) -> list:
         return self.finish(self.start(packed, counts, c))
 
     def msm_packed(self, scalar_bytes: bytes, count: int,
-                   c: int = _WINDOW_C):
+                   c: int = 0):
         return self.msm_batch_packed([scalar_bytes], [count], c)[0]
 
 

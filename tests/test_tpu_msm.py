@@ -39,8 +39,12 @@ def test_device_msm_matches_host():
     dev = tmsm.DeviceBases(prep.buf.raw, prep.n)
     rng = np.random.default_rng(0x715)
     cases = [
-        # 190-bit scalars: full multi-window path without the top-window
-        # entropy collapse (see the skew contract case below)
+        # bulk full-width (254-bit) scalars: exercises the top-window
+        # sub-lane split (the top Pippenger window has only
+        # 254 - (W-1)c bits of entropy; its digits round-robin over
+        # S = B/2^topbits sub-lanes folded on device)
+        [int.from_bytes(rng.bytes(32), "little") % FR_MODULUS
+         for _ in range(n)],
         [int.from_bytes(rng.bytes(24), "little") for _ in range(n)],
         list(rng.integers(0, 1 << 16, size=n)),      # small witness values
         [0] * n,                                     # all zero -> infinity
@@ -54,13 +58,12 @@ def test_device_msm_matches_host():
     want = [prep.msm_packed(p, k) for p, k in zip(packed, counts)]
     for g, w, c in zip(got, want, cases):
         assert g == w, f"device MSM diverged on case {cases.index(c)}"
-    # contract: bulk full-width (254-bit) scalars leave the top Pippenger
-    # window with ~2 bits of entropy, so the digit grid would be
-    # pathologically deep — the engine refuses with _GridSkewError and the
-    # production caller takes the host engine instead (prover.py commit
-    # phase try/except; HyperKZG open routes to the host directly)
-    wide = pack_scalars([Fr(int.from_bytes(rng.bytes(32), "little")
-                            % FR_MODULUS) for _ in range(n)])
+    # contract: pathologically non-uniform scalars (all equal at bulk
+    # count) collapse every window into one bucket — the engine refuses
+    # with _GridSkewError and the production caller takes the host
+    # engine's dense per-digit path instead (prover.py commit phase
+    # try/except)
+    equal = pack_scalars([Fr(FR_MODULUS - 3)] * n)
     with pytest.raises(tmsm._GridSkewError):
-        dev.msm_batch_packed([wide], [n])
+        dev.msm_batch_packed([equal], [n])
     mark_device_tests_warm()  # later runs hit the compile cache -> fast
