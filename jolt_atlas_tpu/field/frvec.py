@@ -901,7 +901,10 @@ def onehot_qev(idx_list: list, U: FrArray, whi, whi_shift: int, wlo,
     assert D >= 1
     T = len(idx_list[0])
     K = len(U)
-    assert K <= 256, K  # chunk tables are K_CHUNK-sized (config.LOG_K_CHUNK)
+    # chunk tables are K_CHUNK-sized; GatherSmall ra families go up to
+    # 2^16 dictionary rows (the C kernel's G buffer is (D, K) Fr4 per
+    # thread: 8 MB at the 2^16 cap)
+    assert K <= (1 << 16), K
     iptrs = (ctypes.POINTER(ctypes.c_int64) * D)(
         *[ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
           for ix in idx_list])

@@ -74,8 +74,9 @@ class ModelBuilder:
         s = self.scale if scale is None else scale
         return self._insert(OPS.Cube(scale=s), [a], self.dims(a))
 
-    def div(self, a, b) -> int:
-        return self._insert(OPS.Div(), [a, b], self.dims(a))
+    def div(self, a, b, scale: int | None = None) -> int:
+        s = self.scale if scale is None else scale
+        return self._insert(OPS.Div(scale=s), [a, b], self.dims(a))
 
     def scalar_const_div(self, a, divisor: int) -> int:
         return self._insert(OPS.ScalarConstDiv(divisor=divisor), [a], self.dims(a))

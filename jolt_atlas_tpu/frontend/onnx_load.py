@@ -272,6 +272,8 @@ def _h_div(c: _Ctx):
             rw = c.b.constant(np.full(c.b.dims(c.w(n.input[0])),
                                       int(recip), dtype=np.int32))
             return [c.b.mul(c.w(n.input[0]), rw)]
+    # builder.div defaults to the model-scale requantizing semantics
+    # (out_hat = a_hat * 2^s / b_hat), matching float ONNX Div
     return [_binary(lambda b, a, d: b.div(a, d))(c)[0]]
 
 
@@ -322,7 +324,7 @@ def _h_tile(c: _Ctx):
 
 
 def _h_reciprocal(c: _Ctx):
-    # 1/x via the proven variable-division advice op
+    # 1/x via the proven requantizing division op (ones / x)
     x = c.w(c.node.input[0])
     ones = c.b.constant(np.full(c.b.dims(x), 1 << c.loader.ra.scale,
                                 dtype=np.int32))

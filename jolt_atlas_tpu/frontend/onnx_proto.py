@@ -347,6 +347,13 @@ def encode_attr_i(name: str, v: int) -> bytes:
     return p
 
 
+def encode_attr_f(name: str, v: float) -> bytes:
+    import struct
+    p = _ld(1, name.encode()) + _fld(2, 5, struct.pack("<f", v))
+    p += _fld(20, 0, _varint(1))  # type FLOAT
+    return p
+
+
 def encode_attr_s(name: str, s: str) -> bytes:
     p = _ld(1, name.encode()) + _ld(4, s.encode())
     p += _fld(20, 0, _varint(3))  # type STRING

@@ -212,10 +212,19 @@ class Cube(Op):
 
 @dataclass(frozen=True)
 class Div(Op):
+    # fixed-point requantizing division: out_hat = floor(a_hat * 2^scale
+    # / b_hat), i.e. real out = a / b at the model scale (the reference's
+    # requantizing nonlinearities::div kernel, tensor/ops.rs). scale=0
+    # gives plain integer division of the raw values.
+    scale: int = 0
+
     def f(self, inputs):
-        a = inputs[0].astype(np.int64)
+        a = inputs[0].astype(np.int64) << np.int64(self.scale)
         b = inputs[1].astype(np.int64)
-        return np.floor_divide(a, b).astype(np.int32)
+        q = np.floor_divide(a, b)
+        assert (np.abs(q) < (1 << 31)).all(), \
+            "Div quotient exceeds i32 (divisor too small for the scale)"
+        return q.astype(np.int32)
 
     def requires_shape_equality(self):
         return True

@@ -37,10 +37,25 @@ _KERNEL_CACHE: dict = {}
 
 # static kernel-shape cap: one jit(shard_map) compiles per (P, term
 # structure, nevals, weight arity, array shape) — ~20 s each on the
-# virtual CPU validation mesh — so engagement is bounded to the low-P
-# instance classes that hold the work (einsum contraction, cycle
-# execution); raise for real multi-chip hardware.
-MAX_P = int(os.environ.get("JOLT_ATLAS_MESH_MAX_P", "3"))
+# virtual CPU validation mesh — so engagement there is bounded to the
+# low-P instance classes that hold the work (einsum contraction, cycle
+# execution). Real accelerator meshes amortize compiles through the
+# persistent cache, so they cover every fused-engine class (the host
+# C kernels' row cap). Env var overrides both.
+_MAX_P_ENV = os.environ.get("JOLT_ATLAS_MESH_MAX_P")
+
+
+def max_p(mesh) -> int:
+    if _MAX_P_ENV is not None:
+        return int(_MAX_P_ENV)
+    try:
+        dev_kind = next(iter(mesh.devices.flat)).platform
+    except Exception:
+        dev_kind = "cpu"
+    return 3 if dev_kind == "cpu" else 96
+
+
+MAX_P = int(_MAX_P_ENV or "3")  # back-compat alias (CPU validation value)
 
 
 def _terms_key(terms) -> tuple:
@@ -265,7 +280,7 @@ def try_setup(mlpolys, terms, degree: int):
     ndev = mesh.shape["sp"]
     if ndev < 2 or ndev & (ndev - 1):
         return None
-    if not mlpolys or len(mlpolys) > MAX_P:
+    if not mlpolys or len(mlpolys) > max_p(mesh):
         return None
     n = len(mlpolys[0])
     min_n = int(os.environ.get("JOLT_ATLAS_MESH_MIN_N", "256"))

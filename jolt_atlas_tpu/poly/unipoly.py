@@ -63,6 +63,45 @@ def vinv_limbs(n: int):
     return got
 
 
+_NODES_VINV_CACHE: dict[tuple, list[list[Fr]]] = {}
+
+
+def interpolate_at_nodes(nodes: list[int], evals: list[Fr]) -> list[Fr]:
+    """Coefficients of the unique polynomial through
+    (nodes[i], evals[i]) for an arbitrary (small) integer node grid —
+    used by the degenerate-eq-line sumcheck fallback, where the standard
+    {0..d} grid is missing the point 1."""
+    key = tuple(nodes)
+    vinv = _NODES_VINV_CACHE.get(key)
+    if vinv is None:
+        n = len(nodes)
+        mat = [[Fr(pow(x, j)) for j in range(n)] for x in nodes]
+        inv = [[Fr.one() if i == j else Fr.zero() for j in range(n)]
+               for i in range(n)]
+        for col in range(n):
+            piv = next(r for r in range(col, n)
+                       if not mat[r][col].is_zero())
+            mat[col], mat[piv] = mat[piv], mat[col]
+            inv[col], inv[piv] = inv[piv], inv[col]
+            s = mat[col][col].inverse()
+            mat[col] = [x * s for x in mat[col]]
+            inv[col] = [x * s for x in inv[col]]
+            for r in range(n):
+                if r != col and not mat[r][col].is_zero():
+                    f = mat[r][col]
+                    mat[r] = [x - f * y for x, y in zip(mat[r], mat[col])]
+                    inv[r] = [x - f * y for x, y in zip(inv[r], inv[col])]
+        vinv = _NODES_VINV_CACHE[key] = inv
+    out = []
+    for row in vinv:
+        acc = Fr.zero()
+        for x, e in zip(row, evals):
+            if not x.is_zero():
+                acc = acc + x * e
+        out.append(acc)
+    return out
+
+
 def _interpolate_at_0_to_d(evals: list[Fr]) -> list[Fr]:
     """Lagrange interpolation through points (0, e0), ..., (d, ed) -> coeffs."""
     n = len(evals)

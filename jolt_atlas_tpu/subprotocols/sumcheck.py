@@ -181,8 +181,40 @@ class RowsInstance:
                        else [es * p for p in pts])
             return UniPoly.from_evals_and_hint(previous_claim, pts)
         dq = max(1, d - 1)
+        l0, l1 = lin
+        if l1.is_zero():
+            # degenerate eq line (point coordinate r_i == 0 -> l(X) =
+            # l0 (1 - X)): the round claim es*l0*q(0) carries no q(1)
+            # information, so the hint recovery divides by zero. Fetch
+            # one extra eval instead and interpolate q on the grid
+            # {0, 2, ..., dq+1}. Arises structurally (e.g. a Slice at
+            # row 0 fixes leading point coordinates to 0), not from
+            # transcript randomness.
+            qev = self._gruen.round_points(dq + 1, whi, whi_shift, wlo,
+                                           log_wlo)
+            return self._gruen_assemble_nohint(qev, dq)
         qev = self._gruen.round_points(dq, whi, whi_shift, wlo, log_wlo)
         return self._gruen_assemble(previous_claim, qev)
+
+    def _gruen_assemble_nohint(self, qev, dq: int) -> UniPoly:
+        """s(X) = es * l(X) * q(X) with q interpolated from evals on the
+        skip-1 grid {0, 2, 3, ..., dq+1} (degenerate-line fallback)."""
+        from ..poly.unipoly import UniPoly, interpolate_at_nodes
+        se = self._se
+        es = se.scalar
+        l0, l1 = se.l_linear(self._rows_round)
+        if not isinstance(qev, list):
+            qev = qev.to_fr_list()
+        nodes = [0] + list(range(2, dq + 2))
+        q = interpolate_at_nodes(nodes, qev)
+        b = l1 - l0
+        s = [Fr.zero()] * (len(q) + 1)
+        for i, c in enumerate(q):
+            s[i] = s[i] + l0 * c
+            s[i + 1] = s[i + 1] + b * c
+        if not es.is_one():
+            s = [es * x for x in s]
+        return UniPoly(s)
 
     def _gruen_assemble(self, previous_claim: Fr, qev) -> UniPoly:
         """s(X) = es * l(X) * q(X) from q's evals [q(0), q(2), ...] — the

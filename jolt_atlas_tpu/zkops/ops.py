@@ -239,8 +239,9 @@ def node_witness(node, model, trace):
         x = padded_flat(trace.node_outputs[node.inputs[0]]).astype(np.int64)
         y = padded_flat(trace.node_outputs[node.inputs[1]]).astype(np.int64)
         assert (y > 0).all(), "Div proof requires positive divisors"
-        q = np.floor_divide(x, y)
-        rem = x - q * y
+        xs = x << np.int64(op.scale)   # requantizing numerator
+        q = np.floor_divide(xs, y)
+        rem = xs - q * y
         both = np.concatenate([to_unsigned(rem, 32), to_unsigned(y, 32)])
         cvals = np.concatenate([
             onehot.chunk_values(to_unsigned(rem, 32), 8),
@@ -2404,8 +2405,9 @@ def _prove_div(node, ctx, r, out_claim):
     g = ctx.transcript.challenge_vector(5)
     x = padded_flat(ctx.trace.node_outputs[node.inputs[0]]).astype(np.int64)
     y = padded_flat(ctx.trace.node_outputs[node.inputs[1]]).astype(np.int64)
-    q = np.floor_divide(x, np.maximum(y, 1))
-    rem = x - q * np.maximum(y, 1)
+    xs = x << np.int64(node.operator.scale)
+    q = np.floor_divide(xs, np.maximum(y, 1))
+    rem = xs - q * np.maximum(y, 1)
     chunks = ctx.chunks[(node.idx, "DivRangeCheckRaD")]
     rem_chunks, y_chunks = chunks[:8], chunks[8:]
     eqv = (rem_chunks == y_chunks).astype(np.int64)
@@ -2428,7 +2430,8 @@ def _prove_div(node, ctx, r, out_claim):
         specs.append((f"lv{d}", FW.derived_claim_id(node.idx, f"lv{d}")))
     specs.append(("Q", _div_q_id(node.idx, "rsc")))
     specs.append(("y", input_opening_id(node.idx, 1, node.inputs[1])))
-    claim = g[0] * x_claim  # all other relations (g1..g4) sum to zero
+    # x-binding relation proves Q*y + rem == x_hat * 2^scale
+    claim = g[0] * x_claim * Fr(1 << node.operator.scale)
     inst = CycleExecutionProver(polys, terms, list(r), claim, specs)
     proof, r_sc = Sumcheck.prove(inst, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "Execution")] = proof
@@ -2469,7 +2472,7 @@ def _verify_div(node, ctx, r, out_claim):
         specs.append((f"lv{d}", FW.derived_claim_id(node.idx, f"lv{d}")))
     specs.append(("Q", _div_q_id(node.idx, "rsc")))
     specs.append(("y", input_opening_id(node.idx, 1, node.inputs[1])))
-    claim = g[0] * x_claim
+    claim = g[0] * x_claim * Fr(1 << node.operator.scale)
     inst = CycleExecutionVerifier(terms, list(r), claim, specs)
     r_sc = Sumcheck.verify(ctx.proofs[(node.idx, "Execution")], inst,
                            ctx.accumulator, ctx.transcript)

@@ -387,11 +387,27 @@ class TestE2ELayerNormPieces:
 
 class TestE2EDiv:
     def test_div(self):
-        b = ModelBuilder()
+        # requantizing fixed-point division: out_hat = floor(x_hat * 2^s
+        # / y_hat) (builder default scale; the reference's requantizing
+        # nonlinearities::div semantics)
+        s = 8
+        b = ModelBuilder(scale=s)
         x = b.input([8])
         y = b.input([8])
         z = b.div(x, y)
         b.output(z)
+        xs = rng.integers(-200, 200, size=8).astype(np.int32)
+        ys = rng.integers(1, 50, size=8).astype(np.int32)
+        pp, proof, io = prove_and_verify(b.build(), [xs, ys])
+        assert (io[1][0] == np.floor_divide(
+            xs.astype(np.int64) << s, ys)).all()
+
+    def test_div_integer_scale0(self):
+        # scale=0 keeps plain integer division of the raw values
+        b = ModelBuilder()
+        x = b.input([8])
+        y = b.input([8])
+        b.output(b.div(x, y, scale=0))
         xs = rng.integers(-200, 200, size=8).astype(np.int32)
         ys = rng.integers(1, 50, size=8).astype(np.int32)
         pp, proof, io = prove_and_verify(b.build(), [xs, ys])
