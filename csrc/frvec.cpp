@@ -932,6 +932,36 @@ static inline bool gruen_weight(i64 j, const u64* whi, i64 whi_n,
   return set;
 }
 
+// Integer-weighted field dot: out = sum_i v[i] * x[i] with v signed i64
+// and x Montgomery rows (out Montgomery). Each term costs ONE single-limb
+// Montgomery multiply in the canonical domain (fr_mul_u64(x_mont, |v|) =
+// x_canon * |v|) instead of an i64->Montgomery encode plus a full
+// multiply — the MLE-evaluation hot path for integer witness/constant
+// polynomials (reference compact_polynomial.rs evaluate over small
+// scalars). |v| up to 2^127 via the TWO64M split; zero weights skip.
+void frv_i64_dot(const i64* v, const u64* x, i64 n, u64* out){
+  Fr4 total={{0,0,0,0}};
+  #pragma omp parallel if(n>PAR_THRESH)
+  {
+    Fr4 local={{0,0,0,0}};
+    #pragma omp for schedule(static) nowait
+    for(i64 i=0;i<n;i++){
+      i64 w=v[i];
+      if(!w) continue;
+      Fr4 xe; memcpy(xe.v,x+i*4,32);
+      u64 mag = w<0 ? (u64)(-(u128)w) : (u64)w;
+      Fr4 p;
+      fr_mul_u64(p, xe, mag);
+      if(w<0) fr_sub(local,local,p); else fr_add(local,local,p);
+    }
+    #pragma omp critical
+    fr_add(total,total,local);
+  }
+  // canonical-domain accumulator -> Montgomery form
+  fr_mul(total,total,R2);
+  memcpy(out,total.v,32);
+}
+
 void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
                           const i64* coeffs, const i64* offsets,
                           const i64* fidx, i64 T, const u64* whi, i64 whi_n,

@@ -162,6 +162,7 @@ def _load():
                                 ctypes.c_int, vp, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int, vp, vp]),
             ("frv_matvec_small", [vp, vp, ctypes.c_int64, vp]),
+            ("frv_i64_dot", [vp, vp, ctypes.c_int64, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_horner_multi", [vp, vp, ctypes.c_int64, vp, vp]),
             ("frv_unipoly_hint_interp", [vp, ctypes.c_int64, vp, vp, vp]),
@@ -1071,3 +1072,14 @@ def mul_seed_cache(a: Fr, b: Fr) -> Fr:
             _SCALAR_CACHE.clear()
         _SCALAR_CACHE[prod.v] = out
     return prod
+
+
+def i64_dot(ints: np.ndarray, x: "FrArray") -> Fr:
+    """sum_i ints[i] * x[i] — one single-limb Montgomery multiply per
+    nonzero term (frv_i64_dot); the integer-MLE evaluation hot path."""
+    v = np.ascontiguousarray(np.asarray(ints).ravel(), dtype=np.int64)
+    assert len(v) == len(x)
+    out = np.empty((1, 4), dtype=np.uint64)
+    _load().frv_i64_dot(v.ctypes.data, _c(x.d).ctypes.data, len(v),
+                        out.ctypes.data)
+    return FrArray(out).item(0)

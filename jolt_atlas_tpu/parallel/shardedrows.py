@@ -278,8 +278,20 @@ def try_setup(mlpolys, terms, degree: int):
     if mesh is None or "sp" not in getattr(mesh, "axis_names", ()):
         return None
     ndev = mesh.shape["sp"]
-    if ndev < 2 or ndev & (ndev - 1):
+    if ndev & (ndev - 1):
         return None
+    if ndev < 2:
+        # single-chip device IOP plan (round-3 verdict item 3): the same
+        # sharded schedule with trivial sharding — head rounds of the
+        # dense RowsInstances run on the accelerator (psum over one
+        # device is the identity), messages byte-identical. Only engages
+        # on real accelerator backends; the CPU validation mesh needs
+        # >= 2 devices to exercise the collective.
+        try:
+            if next(iter(mesh.devices.flat)).platform == "cpu":
+                return None
+        except Exception:
+            return None
     if not mlpolys or len(mlpolys) > max_p(mesh):
         return None
     n = len(mlpolys[0])

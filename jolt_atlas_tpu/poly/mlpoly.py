@@ -144,6 +144,15 @@ class MLPoly:
         assert len(r) == self.num_vars
         if not r:
             return self.final_claim()
+        if self.ints is not None and self.fvec is None:
+            # integer fast path: one single-limb Montgomery multiply per
+            # nonzero coefficient against the eq table, skipping the full
+            # i64 -> Montgomery conversion of the coefficients entirely
+            # (frv_i64_dot; on GPT-2's 2^26-entry embedding constant this
+            # is the difference between ~0.4 s and several seconds)
+            from ..field import frvec
+            if frvec.available():
+                return frvec.i64_dot(self.ints, frvec.eq_expand(r))
         eq = eq_evals(r)
         return vec.vdot(eq, self.to_field())
 

@@ -63,11 +63,21 @@ class SplitEq:
         self._cache_tables = None
 
     # -- table construction ------------------------------------------------
+    _EQ_TABLE_MEMO: dict = {}
+
     @staticmethod
     def _eq_table(point: list[Fr]):
-        """(2^len, 4) Montgomery eq table (native path only)."""
+        """(2^len, 4) Montgomery eq table (native path only), memoized by
+        the point value — the dozens of instances sharing each opening
+        point rebuild identical per-round tables otherwise."""
         from ..field import frvec
-        return frvec.eq_expand(point).d
+        key = tuple(x.v for x in point)
+        got = SplitEq._EQ_TABLE_MEMO.get(key)
+        if got is None:
+            if len(SplitEq._EQ_TABLE_MEMO) > 512:
+                SplitEq._EQ_TABLE_MEMO.clear()
+            got = SplitEq._EQ_TABLE_MEMO[key] = frvec.eq_expand(point).d
+        return got
 
     def _wlo(self):
         if self._wlo_base is None:
@@ -137,7 +147,16 @@ class SplitEq:
         if lin is not None:
             l0, l1 = lin
             val = l0 + c * (l1 - l0)
-            self.scalar = self.scalar * val
-            self.scalar_inv = self.scalar_inv * inv_cached(val)
+            # seed the products\' Montgomery limb rows into the scalar
+            # cache (they feed the gruen_assemble kernel next round — a
+            # plain Fr multiply would cost a limb-encode miss there)
+            from ..field import frvec
+            if frvec.available():
+                self.scalar = frvec.mul_seed_cache(self.scalar, val)
+                self.scalar_inv = frvec.mul_seed_cache(self.scalar_inv,
+                                                       inv_cached(val))
+            else:
+                self.scalar = self.scalar * val
+                self.scalar_inv = self.scalar_inv * inv_cached(val)
         self._cache_round = None
         self._cache_tables = None

@@ -80,6 +80,48 @@ def collect_node_claims(accumulator, node_idx):
     return out
 
 
+def _maybe_device_iop_scope():
+    """Single-chip device IOP engagement: a 1-device accelerator mesh
+    activates the sharded rows engine (parallel/shardedrows.py) for the
+    dense RowsInstances' head rounds — the single-chip arm of the
+    round-3 verdict's item 3. Gated per-engine on the measured link
+    (the rows engine moves ~64 B/elem of planes up per instance, so the
+    bandwidth-heavy device_path_viable model applies); the decision and
+    its reason land in the bench telemetry either way."""
+    import os
+    mode = os.environ.get("JOLT_ATLAS_TPU_IOP", "auto")
+    from .tpu import telemetry
+    if mode == "off":
+        telemetry.decide("iop", "off (env)")
+        return None
+    from .parallel import shardedreduction
+    if shardedreduction.active_mesh() is not None:
+        return None  # an explicit multi-chip mesh scope is already active
+    try:
+        from .tpu import linkcal
+        if mode == "auto" and linkcal.cached_nonviable():
+            telemetry.decide("iop", "link nonviable (persisted cal: "
+                             + linkcal.cached_summary() + ")")
+            return None
+        import jax
+        if jax.default_backend() == "cpu":
+            telemetry.decide("iop", "cpu backend")
+            return None
+        from .field.constants import FR_MODULUS
+        from .tpu.fqplanes import PlanesCtx
+        if mode == "auto" and not linkcal.device_path_viable(
+                jax, PlanesCtx(FR_MODULUS)):
+            telemetry.decide("iop", "link nonviable (measured: "
+                             + linkcal.cached_summary() + ")")
+            return None
+        from .parallel.mesh import make_mesh
+        from .parallel.shardedreduction import mesh_scope
+        telemetry.decide("iop", "ENGAGED (single-chip device mesh)")
+        return mesh_scope(make_mesh(1))
+    except Exception:
+        return None
+
+
 class AtlasProver:
     def __init__(self, preprocessing: AtlasPreprocessing,
                  transcript_factory=Blake2bTranscript):
@@ -198,6 +240,9 @@ class AtlasProver:
 
         # --- reverse-topological IOP ---
         iop_span = span("iop"); iop_span.__enter__()
+        iop_scope = _maybe_device_iop_scope()
+        if iop_scope is not None:
+            iop_scope.__enter__()
         for node in reversed(model.graph.sorted_nodes()):
             claims = collect_node_claims(accumulator, node.idx)
             if isinstance(node.operator, (FOPS.Input, FOPS.Constant)):
@@ -225,6 +270,8 @@ class AtlasProver:
             with span(f"node[{node.idx}] "
                       f"{type(node.operator).__name__}"):
                 ZOPS.prove_node(node, ctx)
+        if iop_scope is not None:
+            iop_scope.__exit__(None, None, None)
         iop_span.__exit__(None, None, None)
 
         # --- batched opening reduction + joint HyperKZG opening ---
