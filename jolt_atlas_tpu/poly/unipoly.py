@@ -259,6 +259,20 @@ class CompressedUniPoly:
         return UniPoly([c[0], self._linear_term(hint)] + c[1:])
 
     def eval_from_hint(self, hint: Fr, x: Fr) -> Fr:
+        if self._coeffs is None:
+            # limb path (deserialized proofs): full poly =
+            # c0 + lin*X + X^2 * (c2 + c3 X + ...) with
+            # lin = hint - 2 c0 - sum(c2..)
+            from ..field import frvec
+            from ..field.frvec import FrArray
+            a = self._arr
+            c0 = a.item(0)
+            lin = hint - c0 - c0
+            if len(a) > 1:
+                tail = FrArray(a.d[1:])
+                lin = lin - tail.sum()
+                return c0 + lin * x + x * x * frvec.horner_fr(tail, x)
+            return c0 + lin * x
         return self.decompress(hint).evaluate(x)
 
     def append_to_transcript(self, transcript) -> None:
@@ -289,8 +303,19 @@ class CompressedUniPoly:
     def deserialize(cls, data: bytes, offset: int = 0):
         n = int.from_bytes(data[offset:offset + 8], "little")
         offset += 8
-        coeffs = []
-        for _ in range(n):
-            coeffs.append(Fr.from_bytes_le(data[offset:offset + 32]))
-            offset += 32
+        blob = data[offset:offset + 32 * n]
+        offset += 32 * n
+        from ..field import frvec
+        if n and frvec.available():
+            # straight to Montgomery limb rows (one C call) — the
+            # verifier's re-absorb and eval_from_hint run limb-native.
+            # Out-of-range bytes reduce mod r exactly like
+            # Fr.from_bytes_le, so transcript bytes are unchanged.
+            import numpy as np
+            raw = np.frombuffer(blob, dtype=np.uint64).reshape(n, 4).copy()
+            enc = np.empty_like(raw)
+            frvec._load().frv_encode(raw, enc, n)
+            return cls(arr=frvec.FrArray(enc)), offset
+        coeffs = [Fr.from_bytes_le(blob[i * 32:(i + 1) * 32])
+                  for i in range(n)]
         return cls(coeffs), offset
