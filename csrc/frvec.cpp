@@ -871,6 +871,74 @@ void frv_gruen_round_bind_p(const u64* const* rows, i64 P, i64 n,
   for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
 }
 
+// Fleet variant of the single-row degree-2 round: ALL such instances of a
+// batched sumcheck round in ONE call — K ~ 150 opening-reduction groups
+// per round each previously paid their own kernel launch and a poorly
+// load-balanced parallel region. Per instance k: optionally bind the
+// SHARED previous challenge c (binds[k] != 0) writing out_rows[k]
+// (length ns[k]/2), then q0_k = sum_j bound[j] * w_k(j) with the whi
+// factor applied per 2^whi_shift block — the identical regrouping as the
+// P==1 fast paths of frv_gruen_round_p / frv_gruen_round_bind_p, so the
+// messages stay byte-identical. Parallelism: dynamic over instances
+// (sizes vary by orders of magnitude).
+void frv_gruen1_fleet(const u64* const* rows, u64* const* out_rows,
+                      const i64* ns, const i64* binds, i64 K,
+                      const u64* c_prev,
+                      const u64* const* whis, const i64* whi_ns,
+                      const i64* whi_shifts,
+                      const u64* const* wlos, const i64* log_wlos,
+                      u64* out){
+  Fr4 cc; memcpy(cc.v, c_prev, 32);
+  #pragma omp parallel for schedule(dynamic, 1)
+  for(i64 k=0;k<K;k++){
+    const u64* row = rows[k];
+    const i64 n = ns[k];
+    const bool bind = binds[k] != 0;
+    const i64 half = bind ? n/4 : n/2;
+    const i64 nb = n/2;
+    u64* orow = bind ? out_rows[k] : 0;
+    const u64* whi = whis[k];
+    const i64 whi_n = whi_ns[k];
+    const int shift = (int)whi_shifts[k];
+    const u64* wlo = wlos[k];
+    const int log_wlo = (int)log_wlos[k];
+    const bool hl = whi_n > 1, ll = log_wlo >= 0;
+    const i64 lomask = ll ? (((i64)1 << log_wlo) - 1) : 0;
+    const i64 BS = hl ? ((i64)1 << shift) : half;
+    const i64 nblk = BS ? (half + BS - 1) / BS : 0;
+    Fr4 total{{0,0,0,0}};
+    for(i64 b=0;b<nblk;b++){
+      Fr4 bs{{0,0,0,0}};
+      i64 j0=b*BS, j1 = j0+BS < half ? j0+BS : half;
+      for(i64 j=j0;j<j1;j++){
+        Fr4 lo;
+        if(bind){
+          Fr4 a2,b2,hi,d;
+          memcpy(a2.v,row+j*4,32);
+          memcpy(b2.v,row+(j+nb)*4,32);
+          fr_sub(d,b2,a2); fr_mul(d,d,cc); fr_add(lo,a2,d);
+          memcpy(orow+j*4,lo.v,32);
+          memcpy(a2.v,row+(j+half)*4,32);
+          memcpy(b2.v,row+(j+half+nb)*4,32);
+          fr_sub(d,b2,a2); fr_mul(d,d,cc); fr_add(hi,a2,d);
+          memcpy(orow+(j+half)*4,hi.v,32);
+        } else {
+          memcpy(lo.v,row+j*4,32);
+        }
+        if(fr_is_zero(lo)) continue;
+        if(ll){ Fr4 l; memcpy(l.v,wlo+(j&lomask)*4,32); fr_mul(lo,lo,l); }
+        fr_add(bs,bs,lo);
+      }
+      if(hl){
+        Fr4 h; memcpy(h.v,whi+((j0>>shift)&(whi_n-1))*4,32);
+        fr_mul(bs,bs,h);
+      }
+      fr_add(total,total,bs);
+    }
+    memcpy(out+k*4,total.v,32);
+  }
+}
+
 // Single-limb Montgomery product: out = a * b / 2^256 mod r. To multiply a
 // Montgomery-form value w (= w_canon * R) by a plain u64 AND keep Montgomery
 // form, first scale once: W2 = fr_mul(w, R2) = w_canon * R^2; then

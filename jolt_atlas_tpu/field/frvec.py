@@ -163,6 +163,8 @@ def _load():
                                 ctypes.c_int, ctypes.c_int, vp, vp]),
             ("frv_matvec_small", [vp, vp, ctypes.c_int64, vp]),
             ("frv_i64_dot", [vp, vp, ctypes.c_int64, vp]),
+            ("frv_gruen1_fleet", [pp, pp, vp, vp, ctypes.c_int64, vp,
+                                  pp, vp, vp, pp, vp, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_horner_multi", [vp, vp, ctypes.c_int64, vp, vp]),
             ("frv_unipoly_hint_interp", [vp, ctypes.c_int64, vp, vp, vp]),
@@ -614,6 +616,7 @@ class GruenInstance:
                 for i, ir in enumerate(int_rows)])
         self._field_enc = None
         self._pending_bind = None  # lazily-fused field bind (see bind())
+        self._preset_q = None      # fleet-precomputed round evals
 
     # -- integer round-0 path ---------------------------------------------
     def _setup_int_encoding(self, max_degree: int) -> None:
@@ -697,6 +700,12 @@ class GruenInstance:
         """[q(0), q(2), ..., q(nevals)] where q is the weighted term sum
         (the eq factor's current-variable line is NOT included — the caller
         assembles s(X) = eq_scalar * l(X) * q(X))."""
+        if self._preset_q is not None:
+            # fleet-precomputed single-row q(0) (sumcheck._gruen_fleet):
+            # the bind was already applied by the fleet kernel
+            r = self._preset_q
+            self._preset_q = None
+            return r
         assert nevals <= self.MAXE
         whi_a = _c(whi) if whi is not None else _DUMMY_U64
         whi_n = len(whi_a) if whi is not None else 1
@@ -1083,3 +1092,62 @@ def i64_dot(ints: np.ndarray, x: "FrArray") -> Fr:
     _load().frv_i64_dot(v.ctypes.data, _c(x.d).ctypes.data, len(v),
                         out.ctypes.data)
     return FrArray(out).item(0)
+
+
+def gruen1_fleet(cands, c_prev) -> None:
+    """One C call for ALL single-row degree-2 Gruen instances of a
+    batched-sumcheck round (frv_gruen1_fleet): binds the shared previous
+    challenge where pending and computes each instance's q(0), presetting
+    it for the instance's next round_points call. `cands` is a list of
+    (GruenInstance, (whi, whi_shift, wlo, log_wlo)) pairs."""
+    K = len(cands)
+    rows_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
+    outs_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
+    whis_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
+    wlos_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
+    ns = np.empty(K, dtype=np.int64)
+    binds = np.empty(K, dtype=np.int64)
+    whi_ns = np.empty(K, dtype=np.int64)
+    shifts = np.empty(K, dtype=np.int64)
+    logls = np.empty(K, dtype=np.int64)
+    keep = []  # buffers that must outlive the call
+    new_rows = []
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    dummy = _DUMMY_U64.ctypes.data_as(u64p)
+    for k, (g, (whi, shift, wlo, log_wlo)) in enumerate(cands):
+        row = g._rows[0]
+        rows_p[k] = row.ctypes.data_as(u64p)
+        if g._pending_bind is not None:
+            half = g.n // 2
+            ob = np.empty((half, 4), dtype=np.uint64)
+            outs_p[k] = ob.ctypes.data_as(u64p)
+            binds[k] = 1
+            new_rows.append(ob)
+        else:
+            outs_p[k] = dummy
+            binds[k] = 0
+            new_rows.append(None)
+        ns[k] = g.n
+        whi_a = _c(whi) if whi is not None else _DUMMY_U64
+        whis_p[k] = whi_a.ctypes.data_as(u64p)
+        whi_ns[k] = len(whi_a) if whi is not None else 1
+        shifts[k] = shift
+        wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
+        wlos_p[k] = wlo_a.ctypes.data_as(u64p)
+        logls[k] = log_wlo
+        keep.append((row, whi_a, wlo_a))
+    out = np.empty((K, 4), dtype=np.uint64)
+    _load().frv_gruen1_fleet(rows_p, outs_p, ns.ctypes.data,
+                             binds.ctypes.data, K,
+                             _fr_limbs_cached(c_prev).ctypes.data,
+                             whis_p, whi_ns.ctypes.data, shifts.ctypes.data,
+                             wlos_p, logls.ctypes.data, out.ctypes.data)
+    for k, (g, _) in enumerate(cands):
+        if binds[k]:
+            ob = new_rows[k]
+            g._pending_bind = None
+            g._rows = [ob]
+            g._ptrs = (u64p * 1)(ob.ctypes.data_as(u64p))
+            g._rows_shared = False
+            g.n //= 2
+        g._preset_q = FrArray(np.ascontiguousarray(out[k:k + 1]))

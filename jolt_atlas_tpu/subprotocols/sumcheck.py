@@ -328,6 +328,39 @@ class SumcheckInstanceProof:
         return cls(polys), offset
 
 
+def _gruen_fleet(instances, remaining: int) -> None:
+    """Precompute ALL single-row degree-2 Gruen round messages of this
+    batched round in one C call (frv_gruen1_fleet) — the dominant call
+    shape (the ~150 opening-reduction groups each previously launched
+    their own bind+eval kernel per round). Byte-identical messages: the
+    kernel replicates the P==1 fast-path block regrouping exactly."""
+    from ..field import frvec
+    if not frvec.available():
+        return
+    from ..field.frvec import GruenInstance
+    cands = []
+    c_prev = None
+    for inst in instances:
+        if remaining > inst.num_rounds():
+            continue
+        g = getattr(inst, "_gruen", None)
+        if (not isinstance(g, GruenInstance) or g.P != 1 or g._int_mode
+                or g._preset_q is not None
+                or getattr(inst, "_rows_deg", 0) != 2):
+            continue
+        se = inst._se
+        rnd = inst._rows_round
+        lin = se.l_linear(rnd)
+        if lin is None or lin[1].is_zero():
+            continue
+        if g._pending_bind is not None:
+            c_prev = g._pending_bind
+        cands.append((g, se.tables(rnd)))
+    if len(cands) < 2:
+        return
+    frvec.gruen1_fleet(cands, c_prev if c_prev is not None else Fr.zero())
+
+
 class _RoundCtx:
     """Per-round batching context: limb-native (2 C calls/round via
     frvec.RoundBatch — the accumulate and the challenge evaluation) when
@@ -477,6 +510,7 @@ class BatchedSumcheck:
         compressed: list[CompressedUniPoly] = []
         for rnd in range(max_rounds):
             remaining = max_rounds - rnd
+            _gruen_fleet(instances, remaining)
             polys = []
             for inst, prev in zip(instances, individual_claims):
                 nr = inst.num_rounds()
@@ -524,6 +558,7 @@ class BatchedSumcheck:
         a full BatchedSumcheck.prove run."""
         for rnd in range(start_round, max_rounds):
             remaining = max_rounds - rnd
+            _gruen_fleet(instances, remaining)
             polys = []
             for k, (inst, prev) in enumerate(zip(instances, individual_claims)):
                 nr = inst.num_rounds()

@@ -54,7 +54,11 @@ def test_device_msm_matches_host():
     from jolt_atlas_tpu.field.scalar import Fr
     packed = [pack_scalars([Fr(int(x)) for x in c]) for c in cases]
     counts = [len(c) for c in cases]
-    got = dev.msm_batch_packed(packed, counts)
+    # c=4 keeps the CPU-backend kernels tiny (64 windows x 16 buckets =
+    # 1024 lanes; the adaptive production windows compile for minutes on
+    # the XLA CPU backend) while exercising the same machinery, including
+    # the top-window sub-lane fold (topbits=2 -> S=4)
+    got = dev.msm_batch_packed(packed, counts, c=4)
     want = [prep.msm_packed(p, k) for p, k in zip(packed, counts)]
     for g, w, c in zip(got, want, cases):
         assert g == w, f"device MSM diverged on case {cases.index(c)}"
@@ -65,5 +69,5 @@ def test_device_msm_matches_host():
     # try/except)
     equal = pack_scalars([Fr(FR_MODULUS - 3)] * n)
     with pytest.raises(tmsm._GridSkewError):
-        dev.msm_batch_packed([equal], [n])
+        dev.msm_batch_packed([equal], [n], c=4)
     mark_device_tests_warm()  # later runs hit the compile cache -> fast
