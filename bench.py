@@ -119,6 +119,16 @@ def main():
         "real_weights_on_disk": os.path.exists("models/gpt2/network.onnx"),
         "shape_125m_recorded": _latest_gpt2_record(),
     }
+    # device-engine test status: "warm" = tests run un-skipped on this
+    # checkout (the XLA CPU kernels are compile-cached); "cold" = a fresh
+    # environment would skip them until JOLT_ATLAS_SLOW_TESTS=1 pays the
+    # one-time ~20 min compile (tests/conftest.py)
+    try:
+        sys.path.insert(0, "tests")
+        from conftest import device_tests_enabled
+        out["device_tests"] = ("warm" if device_tests_enabled() else "cold")
+    except Exception:
+        out["device_tests"] = "unknown"
     print(json.dumps(out))
 
 
