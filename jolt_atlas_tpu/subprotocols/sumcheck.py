@@ -348,6 +348,13 @@ def _gruen_fleet(instances, remaining: int) -> None:
                 or g._preset_q is not None
                 or getattr(inst, "_rows_deg", 0) != 2):
             continue
+        # the fleet kernel computes plain sum(row * w): require the exact
+        # single coeff-1 single-factor term shape (the opening-reduction
+        # groups); anything else keeps its own kernel call, which applies
+        # coefficients and constant terms
+        if (len(g.terms) != 1 or g.terms[0][1] != [0]
+                or not g.terms[0][0].is_one()):
+            continue
         se = inst._se
         rnd = inst._rows_round
         lin = se.l_linear(rnd)
