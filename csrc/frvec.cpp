@@ -1030,6 +1030,45 @@ void frv_i64_dot(const i64* v, const u64* x, i64 n, u64* out){
   memcpy(out,total.v,32);
 }
 
+// Factored integer MLE evaluation: out = sum_{r,c} v[r*C + c] *
+// eq_hi[r] * eq_lo[c] — i.e. eq_hi^T (V eq_lo) — so a 2^m-point
+// evaluation needs two 2^(m/2) eq tables instead of one 2^m table
+// (the 2^26-coefficient GPT-2 constants otherwise build 2 GB eq tables
+// per opening). Same arithmetic plan as frv_i64_dot: one single-limb
+// canonical multiply per nonzero coefficient, one full multiply per row.
+void frv_i64_dot2(const i64* v, i64 R, i64 C, const u64* eq_hi,
+                  const u64* eq_lo, u64* out){
+  Fr4 total={{0,0,0,0}};
+  #pragma omp parallel if(R*C>PAR_THRESH)
+  {
+    Fr4 local={{0,0,0,0}};
+    #pragma omp for schedule(static) nowait
+    for(i64 r=0;r<R;r++){
+      const i64* row = v + r*C;
+      Fr4 inner={{0,0,0,0}};
+      bool any=false;
+      for(i64 c=0;c<C;c++){
+        i64 w=row[c];
+        if(!w) continue;
+        Fr4 xe; memcpy(xe.v,eq_lo+c*4,32);
+        u64 mag = w<0 ? (u64)(-(u128)w) : (u64)w;
+        Fr4 p;
+        fr_mul_u64(p, xe, mag);
+        if(w<0) fr_sub(inner,inner,p); else fr_add(inner,inner,p);
+        any=true;
+      }
+      if(!any) continue;
+      Fr4 h; memcpy(h.v,eq_hi+r*4,32);
+      Fr4 t; fr_mul(t,inner,h);
+      fr_add(local,local,t);
+    }
+    #pragma omp critical
+    fr_add(total,total,local);
+  }
+  fr_mul(total,total,R2);   // canonical accumulator -> Montgomery
+  memcpy(out,total.v,32);
+}
+
 void frv_gruen_round0_i64(const i64* const* rows, i64 P, i64 n, int nevals,
                           const i64* coeffs, const i64* offsets,
                           const i64* fidx, i64 T, const u64* whi, i64 whi_n,

@@ -163,6 +163,8 @@ def _load():
                                 ctypes.c_int, ctypes.c_int, vp, vp]),
             ("frv_matvec_small", [vp, vp, ctypes.c_int64, vp]),
             ("frv_i64_dot", [vp, vp, ctypes.c_int64, vp]),
+            ("frv_i64_dot2", [vp, ctypes.c_int64, ctypes.c_int64, vp, vp,
+                              vp]),
             ("frv_gruen1_fleet", [pp, pp, vp, vp, ctypes.c_int64, vp,
                                   pp, vp, vp, pp, vp, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
@@ -1151,3 +1153,18 @@ def gruen1_fleet(cands, c_prev) -> None:
             g._rows_shared = False
             g.n //= 2
         g._preset_q = FrArray(np.ascontiguousarray(out[k:k + 1]))
+
+
+def i64_dot_factored(ints: np.ndarray, r_hi, r_lo) -> Fr:
+    """Integer MLE evaluation at the point (r_hi ++ r_lo) via the factored
+    eq product eq_hi^T (V eq_lo) — two 2^(m/2) eq tables instead of one
+    2^m table (frv_i64_dot2)."""
+    v = np.ascontiguousarray(np.asarray(ints).ravel(), dtype=np.int64)
+    R, C = 1 << len(r_hi), 1 << len(r_lo)
+    assert len(v) == R * C
+    hi = eq_expand(list(r_hi))
+    lo = eq_expand(list(r_lo))
+    out = np.empty((1, 4), dtype=np.uint64)
+    _load().frv_i64_dot2(v.ctypes.data, R, C, _c(hi.d).ctypes.data,
+                         _c(lo.d).ctypes.data, out.ctypes.data)
+    return FrArray(out).item(0)

@@ -167,7 +167,14 @@ class Constant(Op):
 
     @property
     def array(self) -> np.ndarray:
-        return np.array(self.value, dtype=np.int32).reshape(self.dims)
+        # cached: rebuilding from the hashable int tuple costs ~120 ms at
+        # vocab scale (2^26 entries) and the verifier touches constants
+        # once per consumer claim
+        a = getattr(self, "_arr_cache", None)
+        if a is None:
+            a = np.array(self.value, dtype=np.int32).reshape(self.dims)
+            object.__setattr__(self, "_arr_cache", a)
+        return a
 
     def f(self, inputs):
         return self.array

@@ -144,14 +144,18 @@ class MLPoly:
         assert len(r) == self.num_vars
         if not r:
             return self.final_claim()
-        if self.ints is not None and self.fvec is None:
+        if self.ints is not None:
             # integer fast path: one single-limb Montgomery multiply per
-            # nonzero coefficient against the eq table, skipping the full
-            # i64 -> Montgomery conversion of the coefficients entirely
-            # (frv_i64_dot; on GPT-2's 2^26-entry embedding constant this
-            # is the difference between ~0.4 s and several seconds)
+            # nonzero coefficient, skipping the full i64 -> Montgomery
+            # conversion of the coefficients entirely. Past 2^16 points
+            # the eq table factors into hi/lo halves (frv_i64_dot2) so a
+            # 2^26-coefficient GPT-2 constant needs two 2^13 tables, not
+            # one 2 GB table.
             from ..field import frvec
             if frvec.available():
+                if len(r) > 16:
+                    h = len(r) // 2
+                    return frvec.i64_dot_factored(self.ints, r[:h], r[h:])
                 return frvec.i64_dot(self.ints, frvec.eq_expand(r))
         eq = eq_evals(r)
         return vec.vdot(eq, self.to_field())
