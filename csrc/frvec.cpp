@@ -1360,6 +1360,33 @@ void frv_horner_multi(const u64* const* ptrs, const i64* lens, i64 K,
   }
 }
 
+// Verifier round-claim chain step: coeffs c = [c0, c2, c3, ...] are the
+// COMPRESSED round polynomial (linear term omitted); recover
+// lin = hint - 2 c0 - sum(c[1:]) and return
+// P(x) = c0 + lin*x + x^2 * (c[1] + c[2] x + ...). All Montgomery; the
+// running claim never leaves limb form across the round chain.
+void frv_eval_from_hint(const u64* c, i64 n, const u64* hint,
+                        const u64* x, u64* out){
+  Fr4 c0; memcpy(c0.v, c, 32);
+  Fr4 h; memcpy(h.v, hint, 32);
+  Fr4 xx; memcpy(xx.v, x, 32);
+  Fr4 lin; fr_sub(lin, h, c0); fr_sub(lin, lin, c0);
+  Fr4 tail{{0,0,0,0}};
+  for(i64 i=n-1;i>=1;i--){
+    Fr4 ci; memcpy(ci.v, c+i*4, 32);
+    fr_sub(lin, lin, ci);
+    fr_mul(tail, tail, xx);
+    fr_add(tail, tail, ci);
+  }
+  // P = c0 + x*(lin + x*tail)
+  Fr4 acc;
+  fr_mul(acc, tail, xx);
+  fr_add(acc, acc, lin);
+  fr_mul(acc, acc, xx);
+  fr_add(acc, acc, c0);
+  memcpy(out, acc.v, 32);
+}
+
 // Field inversion, Montgomery-batched (in/out Montgomery form). One
 // Fermat exponentiation (a^(p-2), ~254 squarings) is shared across the
 // whole batch via prefix products; singles cost ~6 us vs CPython's ~22 us

@@ -165,6 +165,7 @@ def _load():
             ("frv_i64_dot", [vp, vp, ctypes.c_int64, vp]),
             ("frv_i64_dot2", [vp, ctypes.c_int64, ctypes.c_int64, vp, vp,
                               vp]),
+            ("frv_eval_from_hint", [vp, ctypes.c_int64, vp, vp, vp]),
             ("frv_gruen1_fleet", [pp, pp, vp, vp, ctypes.c_int64, vp,
                                   pp, vp, vp, pp, vp, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),

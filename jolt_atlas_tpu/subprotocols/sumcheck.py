@@ -298,8 +298,35 @@ class SumcheckInstanceProof:
             raise SumcheckError(
                 f"expected {num_rounds} round polys, got {len(self.compressed_polys)}"
             )
-        e = claim
+        from ..field import frvec
         r: list[Fr] = []
+        if (frvec.available()
+                and all(p._coeffs is None for p in self.compressed_polys)):
+            # limb-native round chain: the running claim stays a Montgomery
+            # limb row across the whole chain (one frv_eval_from_hint call
+            # per round), decoded to Fr once at the end
+            import numpy as np
+            lib = frvec._load()
+            # own both ping-pong buffers (the cached limb row must never
+            # be a kernel output)
+            e_l = frvec._fr_limbs_cached(claim).copy()
+            buf = np.empty((1, 4), dtype=np.uint64)
+            for poly in self.compressed_polys:
+                if poly.degree() > degree_bound:
+                    raise SumcheckError(
+                        f"round poly degree {poly.degree()} > "
+                        f"bound {degree_bound}")
+                poly.append_to_transcript(transcript)
+                r_i = transcript.challenge_scalar_optimized()
+                r.append(r_i)
+                arr = poly._arr
+                lib.frv_eval_from_hint(
+                    arr.d.ctypes.data, len(arr), e_l.ctypes.data,
+                    frvec._fr_limbs_cached(r_i).ctypes.data,
+                    buf.ctypes.data)
+                e_l, buf = buf, e_l
+            return frvec.FrArray(e_l).item(0), r
+        e = claim
         for poly in self.compressed_polys:
             if poly.degree() > degree_bound:
                 raise SumcheckError(
