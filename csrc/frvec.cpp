@@ -12,8 +12,10 @@
 #include <cstring>
 #include <vector>
 #include <omp.h>
+#include <cstdlib>
 
 #include "mont4.h"
+#include "mont52.h"
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -590,6 +592,344 @@ void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
   }
 }
 
+int frv52_available();  // defined in the engine section below
+
+static int use_ifma(){
+  static int v = -1;
+  if(v < 0) v = frv52_available() && !getenv("JOLT_ATLAS_NO_IFMA");
+  return v;
+}
+
+#ifdef MONT52_AVAILABLE
+static const mont52::Interop& fr52_io(){
+  static mont52::Interop io = [](){
+    mont52::Interop v;
+    mont52::split52(R_MOD.v, v.ctx.p52);
+    u64 inv = 1;
+    for(int i=0;i<6;i++) inv *= 2 - R_MOD.v[0]*inv;
+    v.ctx.n0inv52 = (u64)(0 - inv) & ((1ULL<<52)-1);
+    return v;
+  }();
+  return io;
+}
+
+// 8-way body of the single-row fleet instance: bind the shared challenge
+// and accumulate the block-grouped weighted q(0) sums. Field arithmetic
+// is exact, so the result matches the scalar body bit for bit.
+static void gruen1_ifma(const u64* row, u64* orow, i64 n, bool bind,
+                        const u64* cc_prev,
+                        const u64* whi, i64 whi_n, int shift,
+                        const u64* wlo, int log_wlo, u64* out_q0){
+  using namespace mont52;
+  const Interop& io = fr52_io();
+  const Ctx& C = io.ctx;
+  const i64 half = bind ? n/4 : n/2;
+  const i64 nb = n/2;
+  const bool hl = whi_n > 1, ll = log_wlo >= 0;
+  const i64 lomask = ll ? (((i64)1 << log_wlo) - 1) : 0;
+  const i64 BS = hl ? ((i64)1 << shift) : half;
+  const i64 nblk = BS ? (half + BS - 1) / BS : 0;
+  // mont(16) = 16 * 2^256 mod p: pre-scales exactly ONE operand of each
+  // mul8 so the 2^-260 reduction lands back in the 2^256 domain
+  Fr4 mont16 = R1;
+  for(int i=0;i<4;i++) fr_add(mont16, mont16, mont16);
+  V5 ccv;
+  {
+    Fr4 cc16; Fr4 ccf; memcpy(ccf.v, cc_prev, 32);
+    fr_mul(cc16, ccf, mont16);
+    alignas(64) u64 cols[5][8];
+    u64 t[5];
+    split52(cc16.v, t);
+    for(int j=0;j<5;j++)
+      for(int k=0;k<8;k++) cols[j][k]=t[j];
+    for(int j=0;j<5;j++)
+      ccv.l[j] = _mm512_load_si512((const void*)cols[j]);
+  }
+  // pre-scale the wlo table by mont(16) once (it multiplies the bound
+  // row inside the block loop)
+  std::vector<u64> wlo16;
+  const u64* wlo_s = wlo;
+  if(ll){
+    i64 wn = (i64)1 << log_wlo;
+    wlo16.resize((size_t)wn*4);
+    for(i64 i=0;i<wn;i++){
+      Fr4 w; memcpy(w.v, wlo+i*4, 32);
+      Fr4 o; fr_mul(o, w, mont16);
+      memcpy(wlo16.data()+i*4, o.v, 32);
+    }
+    wlo_s = wlo16.data();
+  }
+  Fr4 total{{0,0,0,0}};
+  alignas(64) u64 lanebuf[8*4];
+  for(i64 b=0;b<nblk;b++){
+    i64 j0=b*BS, j1 = j0+BS < half ? j0+BS : half;
+    // 8-lane block accumulator, kept < 2p every iteration (one lazy
+    // add + conditional 2p-subtract per step) so limbs stay below the
+    // 2^52 bound vpmadd52 silently truncates at
+    V5 acc; for(int j=0;j<5;j++) acc.l[j]=_mm512_setzero_si512();
+    for(i64 j=j0;j<j1;j+=8){
+      V5 lo;
+      if(bind){
+        V5 a2 = to52_8(io, row + j*4);
+        V5 b2 = to52_8(io, row + (j+nb)*4);
+        V5 d = sub8(C, b2, a2);
+        lo = reduce_full(C, add8(mul8(C, d, ccv), a2));
+        from52_8(io, lo, orow + j*4);
+        a2 = to52_8(io, row + (j+half)*4);
+        b2 = to52_8(io, row + (j+half+nb)*4);
+        d = sub8(C, b2, a2);
+        V5 hi = reduce_full(C, add8(mul8(C, d, ccv), a2));
+        from52_8(io, hi, orow + (j+half)*4);
+      } else {
+        lo = to52_8(io, row + j*4);
+      }
+      if(ll){
+        // consecutive wlo entries (j block-aligned, log_wlo >= 3
+        // guaranteed by the caller's guard); table pre-scaled by mont16
+        V5 w = to52_8(io, wlo_s + (j & lomask)*4);
+        lo = mul8(C, lo, w);
+      }
+      acc = cond_sub(C, add8(acc, lo), 1);
+    }
+    // horizontal: convert lanes out (< 2p in, reduced < p out) and sum
+    from52_8(io, acc, lanebuf);
+    Fr4 bs{{0,0,0,0}};
+    for(int k=0;k<8;k++){
+      Fr4 v; memcpy(v.v, lanebuf + 4*k, 32);
+      fr_add(bs, bs, v);
+    }
+    if(hl){
+      Fr4 h; memcpy(h.v, whi+((j0>>shift)&(whi_n-1))*4, 32);
+      fr_mul(bs, bs, h);
+    }
+    fr_add(total, total, bs);
+  }
+  memcpy(out_q0, total.v, 32);
+}
+#endif  // MONT52_AVAILABLE
+
+#ifdef MONT52_AVAILABLE
+// 8-way general Gruen round body (optionally fused with the previous
+// challenge's bind): P row ladders, CSE aux products, weighted term sums.
+// Domain bookkeeping: every mul8 divides by an extra 2^4, so each term's
+// coefficient is pre-scaled by mont(16)^(expanded factor count) and the
+// weight tables by mont(16) — the emitted totals land back in the plain
+// 2^256 Montgomery domain and match the scalar kernels bit for bit.
+static void gruen_round_ifma(const bool BIND,
+                             const u64* const* rows, i64 P, i64 n,
+                             const u64* c_prev, u64* const* out_rows,
+                             int nevals, const u64* coeffs,
+                             const i64* offsets, const i64* fidx, i64 T,
+                             const i64* aux_offsets, const i64* aux_fidx,
+                             i64 A, const u64* whi, i64 whi_n,
+                             int whi_shift, const u64* wlo, int log_wlo,
+                             u64* out){
+  using namespace mont52;
+  const Interop& io = fr52_io();
+  const Ctx& C = io.ctx;
+  const i64 nb = n/2, half = BIND ? n/4 : n/2;
+  const i64 lomask = log_wlo >= 0 ? (((i64)1 << log_wlo) - 1) : 0;
+  const bool hl = whi_n > 1, ll = log_wlo >= 0;
+  const int MAXE=20, MAXP=96, MAXA=16;
+
+  Fr4 mont16 = R1;
+  for(int i=0;i<4;i++) fr_add(mont16, mont16, mont16);
+
+  // expanded factor count per term / aux -> coefficient prescale 16^k
+  // (a product tree with F expanded leaves plus its coefficient performs
+  // exactly F mul8 calls)
+  std::vector<i64> aux_cnt((size_t)A);
+  for(i64 a=0;a<A;a++) aux_cnt[a] = aux_offsets[a+1]-aux_offsets[a];
+  std::vector<u64> coeffs16((size_t)T*4);
+  for(i64 k=0;k<T;k++){
+    i64 F = 0;
+    for(i64 f=offsets[k];f<offsets[k+1];f++){
+      i64 idx = fidx[f];
+      F += (idx >= P) ? aux_cnt[idx-P] : 1;
+    }
+    Fr4 cf; memcpy(cf.v, coeffs+k*4, 32);
+    for(i64 i=0;i<F;i++) fr_mul(cf, cf, mont16);
+    memcpy(coeffs16.data()+k*4, cf.v, 32);
+  }
+  std::vector<u64> wlo16, whi16;
+  const u64 *wlo_s = wlo, *whi_s = whi;
+  if(ll){
+    i64 wn = (i64)1 << log_wlo;
+    wlo16.resize((size_t)wn*4);
+    for(i64 i=0;i<wn;i++){
+      Fr4 w; memcpy(w.v, wlo+i*4, 32);
+      Fr4 o; fr_mul(o, w, mont16);
+      memcpy(wlo16.data()+i*4, o.v, 32);
+    }
+    wlo_s = wlo16.data();
+  }
+  if(hl){
+    whi16.resize((size_t)whi_n*4);
+    for(i64 i=0;i<whi_n;i++){
+      Fr4 w; memcpy(w.v, whi+i*4, 32);
+      Fr4 o; fr_mul(o, w, mont16);
+      memcpy(whi16.data()+i*4, o.v, 32);
+    }
+    whi_s = whi16.data();
+  }
+  V5 ccv;
+  if(BIND){
+    Fr4 cc16; Fr4 ccf; memcpy(ccf.v, c_prev, 32);
+    fr_mul(cc16, ccf, mont16);
+    alignas(64) u64 cols[5][8];
+    u64 t[5];
+    split52(cc16.v, t);
+    for(int j=0;j<5;j++) for(int k=0;k<8;k++) cols[j][k]=t[j];
+    for(int j=0;j<5;j++) ccv.l[j]=_mm512_load_si512((const void*)cols[j]);
+  }
+
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 fin[MAXE];
+    for(int t=0;t<nevals;t++) fin[t]=Fr4{{0,0,0,0}};
+    V5 local[MAXE];
+    for(int t=0;t<nevals;t++)
+      for(int j=0;j<5;j++) local[t].l[j]=_mm512_setzero_si512();
+    V5 e[MAXP+MAXA][MAXE];
+    alignas(64) u64 lanebuf[8*4];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j+=8){
+      for(i64 p=0;p<P;p++){
+        V5 lo, hi;
+        if(BIND){
+          V5 a2 = to52_8(io, rows[p] + j*4);
+          V5 b2 = to52_8(io, rows[p] + (j+nb)*4);
+          lo = reduce_full(C, add8(mul8(C, sub8(C, b2, a2), ccv), a2));
+          from52_8(io, lo, out_rows[p] + j*4);
+          a2 = to52_8(io, rows[p] + (j+half)*4);
+          b2 = to52_8(io, rows[p] + (j+half+nb)*4);
+          hi = reduce_full(C, add8(mul8(C, sub8(C, b2, a2), ccv), a2));
+          from52_8(io, hi, out_rows[p] + (j+half)*4);
+        } else {
+          lo = to52_8(io, rows[p] + j*4);
+          if(nevals > 1) hi = to52_8(io, rows[p] + (j+half)*4);
+        }
+        e[p][0] = lo;
+        if(nevals > 1){
+          // d reduced < p so ladder entries stay < p + 20p < 2^260/16
+          V5 d = cond_sub(C, cond_sub(C, sub8(C, hi, lo), 1), 0);
+          V5 cur = hi;
+          for(int t=1;t<nevals;t++){
+            cur = add8(cur, d);
+            e[p][t] = cur;
+          }
+        }
+      }
+      for(i64 a=0;a<A;a++){
+        for(int t=0;t<nevals;t++){
+          V5 prod = e[aux_fidx[aux_offsets[a]]][t];
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
+            prod = mul8(C, prod, e[aux_fidx[f]][t]);
+          e[P+a][t] = prod;
+        }
+      }
+      // per-j-lane weights (scalar gather into SoA; whi factor applied
+      // lane-wise because j>>shift differs within the group when
+      // shift < 3 — prescaled tables keep the domain)
+      V5 wv; bool have_w = false;
+      {
+        alignas(64) u64 cols[5][8];
+        bool set = false;
+        u64 acc_t[8][5];
+        for(int k=0;k<8;k++){
+          i64 jj = j + k;
+          u64 cur[5]; bool curset = false;
+          if(ll){
+            split52(wlo_s + (jj & lomask)*4, cur);
+            curset = true;
+          }
+          if(hl){
+            u64 h[5];
+            split52(whi_s + ((jj >> whi_shift)&(whi_n-1))*4, h);
+            if(curset){
+              // two table factors: combine scalar-side with the
+              // UNSCALED whi (fr_mul of two 16-scaled rows would carry
+              // 16^2; one 16 is exactly what the weight mul8 consumes)
+              Fr4 a1, b1, o1;
+              memcpy(a1.v, wlo_s + (jj & lomask)*4, 32);
+              memcpy(b1.v, whi + ((jj >> whi_shift)&(whi_n-1))*4, 32);
+              fr_mul(o1, a1, b1);
+              split52(o1.v, cur);
+            } else {
+              for(int q=0;q<5;q++) cur[q] = h[q];
+              curset = true;
+            }
+          }
+          if(curset){ for(int q=0;q<5;q++) acc_t[k][q] = cur[q]; }
+          set = set || curset;
+        }
+        if(set){
+          for(int q=0;q<5;q++)
+            for(int k=0;k<8;k++) cols[q][k] = acc_t[k][q];
+          for(int q=0;q<5;q++)
+            wv.l[q] = _mm512_load_si512((const void*)cols[q]);
+          have_w = true;
+        }
+      }
+      for(int t=0;t<nevals;t++){
+        V5 inner;
+        for(int q=0;q<5;q++) inner.l[q]=_mm512_setzero_si512();
+        bool any = false;
+        for(i64 k=0;k<T;k++){
+          V5 prod;
+          if(offsets[k+1]==offsets[k]){
+            // constant term: prescale-free (no factor muls) — convert
+            // the coefficient itself
+            alignas(64) u64 cols[5][8];
+            u64 tt[5];
+            split52(coeffs + k*4, tt);
+            for(int q=0;q<5;q++)
+              for(int kk=0;kk<8;kk++) cols[q][kk]=tt[q];
+            for(int q=0;q<5;q++)
+              prod.l[q]=_mm512_load_si512((const void*)cols[q]);
+            inner = cond_sub(C, add8(inner, prod), 1);
+            any = true;
+            continue;
+          }
+          prod = e[fidx[offsets[k]]][t];
+          for(i64 f=offsets[k]+1;f<offsets[k+1];f++)
+            prod = mul8(C, prod, e[fidx[f]][t]);
+          // coefficient (prescaled 16^F) folds the whole tree back to
+          // the 2^256 domain
+          alignas(64) u64 cols[5][8];
+          u64 tt[5];
+          split52(coeffs16.data() + k*4, tt);
+          for(int q=0;q<5;q++)
+            for(int kk=0;kk<8;kk++) cols[q][kk]=tt[q];
+          V5 cf;
+          for(int q=0;q<5;q++)
+            cf.l[q]=_mm512_load_si512((const void*)cols[q]);
+          prod = mul8(C, prod, cf);
+          inner = cond_sub(C, add8(inner, prod), 1);
+          any = true;
+        }
+        if(!any) continue;
+        if(have_w) inner = mul8(C, inner, wv);
+        local[t] = cond_sub(C, add8(local[t], inner), 1);
+      }
+    }
+    // horizontal: fold the 8 lanes of each eval into the scalar total
+    for(int t=0;t<nevals;t++){
+      from52_8(io, local[t], lanebuf);
+      for(int k=0;k<8;k++){
+        Fr4 v; memcpy(v.v, lanebuf+4*k, 32);
+        fr_add(fin[t], fin[t], v);
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],fin[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+#endif  // MONT52_AVAILABLE
+
 // ---- Gruen split-eq fused rounds --------------------------------------------
 //
 // Round message kernel for instances of the form
@@ -655,6 +995,14 @@ void frv_gruen_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
     memcpy(out,total.v,32);
     return;
   }
+#ifdef MONT52_AVAILABLE
+  if(use_ifma() && half >= 8 && (half & 7) == 0){
+    gruen_round_ifma(false, rows, P, n, 0, 0, nevals, coeffs, offsets,
+                            fidx, T, aux_offsets, aux_fidx, A, whi,
+                            whi_n, whi_shift, wlo, log_wlo, out);
+    return;
+  }
+#endif
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -792,6 +1140,14 @@ void frv_gruen_round_bind_p(const u64* const* rows, i64 P, i64 n,
     memcpy(out,total.v,32);
     return;
   }
+#ifdef MONT52_AVAILABLE
+  if(use_ifma() && half >= 8 && (half & 7) == 0){
+    gruen_round_ifma(true, rows, P, n, c_prev, out_rows, nevals, coeffs,
+                           offsets, fidx, T, aux_offsets, aux_fidx, A,
+                           whi, whi_n, whi_shift, wlo, log_wlo, out);
+    return;
+  }
+#endif
   Fr4 total[MAXE];
   for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
   #pragma omp parallel if(half*P>PAR_THRESH)
@@ -881,6 +1237,7 @@ void frv_gruen_round_bind_p(const u64* const* rows, i64 P, i64 n,
 // P==1 fast paths of frv_gruen_round_p / frv_gruen_round_bind_p, so the
 // messages stay byte-identical. Parallelism: dynamic over instances
 // (sizes vary by orders of magnitude).
+
 void frv_gruen1_fleet(const u64* const* rows, u64* const* out_rows,
                       const i64* ns, const i64* binds, i64 K,
                       const u64* c_prev,
@@ -889,6 +1246,11 @@ void frv_gruen1_fleet(const u64* const* rows, u64* const* out_rows,
                       const u64* const* wlos, const i64* log_wlos,
                       u64* out){
   Fr4 cc; memcpy(cc.v, c_prev, 32);
+#ifdef MONT52_AVAILABLE
+  const int have52 = use_ifma();
+#else
+  const int have52 = 0;
+#endif
   #pragma omp parallel for schedule(dynamic, 1)
   for(i64 k=0;k<K;k++){
     const u64* row = rows[k];
@@ -902,6 +1264,17 @@ void frv_gruen1_fleet(const u64* const* rows, u64* const* out_rows,
     const int shift = (int)whi_shifts[k];
     const u64* wlo = wlos[k];
     const int log_wlo = (int)log_wlos[k];
+#ifdef MONT52_AVAILABLE
+    {
+      const i64 BSv = (whi_n > 1) ? ((i64)1 << shift) : half;
+      if(have52 && half >= 8 && (half & 7) == 0 && BSv >= 8
+         && (BSv & 7) == 0 && (log_wlo < 0 || log_wlo >= 3)){
+        gruen1_ifma(row, orow, n, bind, c_prev, whi, whi_n, shift,
+                    wlo, log_wlo, out + k*4);
+        continue;
+      }
+    }
+#endif
     const bool hl = whi_n > 1, ll = log_wlo >= 0;
     const i64 lomask = ll ? (((i64)1 << log_wlo) - 1) : 0;
     const i64 BS = hl ? ((i64)1 << shift) : half;
@@ -1543,5 +1916,96 @@ void frv_onehot_qev(const i64* const* idx, i64 D, i64 T,
   memcpy(out, q0.v, 32);
   memcpy(out+4, q2.v, 32);
 }
+
+// ---- AVX-512 IFMA 8-way Montgomery engine (csrc/mont52.h) ------------------
+
+int frv52_available(){
+#ifdef MONT52_AVAILABLE
+  return __builtin_cpu_supports("avx512ifma") ? 1 : 0;
+#else
+  return 0;
+#endif
+}
+
+#ifdef MONT52_AVAILABLE
+static mont52::Ctx fr52_ctx(){
+  mont52::Ctx c;
+  mont52::split52(R_MOD.v, c.p52);
+  // -p^{-1} mod 2^52
+  u64 inv = 1;
+  for(int i=0;i<6;i++) inv *= 2 - R_MOD.v[0]*inv;  // mod 2^64
+  c.n0inv52 = (u64)(0 - inv) & ((1ULL<<52)-1);
+  return c;
+}
+
+// out = a * b^(reps) * 2^(-260*reps) mod r — reps>1 keeps the values in
+// the 52-bit domain between multiplies so the core rate is measurable
+// without conversion overhead. Inputs/outputs 4x64 LE (< r).
+void frv52_mul(const u64* a, const u64* b, u64* out, i64 n, i64 reps){
+  static mont52::Ctx c = fr52_ctx();
+  i64 n8 = n & ~7LL;
+  #pragma omp parallel for schedule(static) if(n8>4096)
+  for(i64 i=0;i<n8;i+=8){
+    alignas(64) u64 A52[5][8], B52[5][8], O52[5][8];
+    for(int k=0;k<8;k++){
+      u64 t[5];
+      mont52::split52(a+(i+k)*4, t);
+      for(int j=0;j<5;j++) A52[j][k]=t[j];
+      mont52::split52(b+(i+k)*4, t);
+      for(int j=0;j<5;j++) B52[j][k]=t[j];
+    }
+    const u64* cA[5]; const u64* cB[5]; u64* cO[5];
+    for(int j=0;j<5;j++){ cA[j]=A52[j]; cB[j]=B52[j]; cO[j]=O52[j]; }
+    mont52::V5 A = mont52::load5(cA, 0);
+    mont52::V5 B = mont52::load5(cB, 0);
+    mont52::V5 O = mont52::mul8(c, A, B);
+    for(i64 rp=1; rp<reps; rp++) O = mont52::mul8(c, O, B);
+    O = mont52::reduce8(c, O);
+    mont52::store5(cO, 0, O);
+    for(int k=0;k<8;k++){
+      u64 t[5];
+      for(int j=0;j<5;j++) t[j]=O52[j][k];
+      mont52::join52(t, out+(i+k)*4);
+    }
+  }
+  (void)n;  // bench harness uses n multiple of 8
+}
+#else
+void frv52_mul(const u64*, const u64*, u64*, i64, i64){}
+#endif
+
+#ifdef MONT52_AVAILABLE
+// debug: expose the bind chain intermediates (a + c*(b-a))
+void frv52_chain(const u64* a, const u64* b, const u64* cch, u64* o_sub,
+                 u64* o_mul, u64* o_out, i64 n){
+  using namespace mont52;
+  const Interop& io = fr52_io();
+  const Ctx& C = io.ctx;
+  Fr4 mont16 = R1;
+  for(int i=0;i<4;i++) fr_add(mont16, mont16, mont16);
+  V5 ccv;
+  {
+    Fr4 cc16; Fr4 ccf; memcpy(ccf.v, cch, 32);
+    fr_mul(cc16, ccf, mont16);
+    alignas(64) u64 cols[5][8];
+    u64 t[5];
+    split52(cc16.v, t);
+    for(int j=0;j<5;j++) for(int k=0;k<8;k++) cols[j][k]=t[j];
+    for(int j=0;j<5;j++) ccv.l[j]=_mm512_load_si512((const void*)cols[j]);
+  }
+  for(i64 i=0;i<n;i+=8){
+    V5 A = to52_8(io, a + i*4);
+    V5 B = to52_8(io, b + i*4);
+    V5 d = sub8(C, B, A);
+    from52_8(io, reduce_full(C, d), o_sub + i*4);
+    V5 m = mul8(C, d, ccv);
+    from52_8(io, reduce_full(C, m), o_mul + i*4);
+    V5 o = reduce_full(C, add8(m, A));
+    from52_8(io, o, o_out + i*4);
+  }
+}
+#else
+void frv52_chain(const u64*, const u64*, const u64*, u64*, u64*, u64*, i64){}
+#endif
 
 }  // extern "C"
