@@ -89,6 +89,49 @@ static inline void mont_mul(Fp&r, const Fp&a, const Fp&b){
 }
 #endif  // MONT4_ADX
 static inline void mont_sqr(Fp&r, const Fp&a){ mont_mul(r,a,a); }
+
+#include "mont52.h"
+#ifdef MONT52_AVAILABLE
+#include <cstdlib>
+// Fq 8-way IFMA context (same engine as frvec's Fr one; the header is
+// modulus-agnostic). VC16 = 2^264 mod q as a plain value: mul8(a, VC16)
+// multiplies by 2^4 net of the engine's extra 2^-4 — the single-operand
+// prescale that keeps chains in the 2^256 Montgomery domain.
+static const mont52::Ctx& fq52_ctx(){
+  static mont52::Ctx c = [](){
+    mont52::Ctx v;
+    mont52::split52(Q_MOD.v, v.p52);
+    u64 inv = 1;
+    for(int i=0;i<6;i++) inv *= 2 - Q_MOD.v[0]*inv;
+    v.n0inv52 = (u64)(0 - inv) & ((1ULL<<52)-1);
+    return v;
+  }();
+  return c;
+}
+static const mont52::V5& fq52_vc16(){
+  static bool init=false;
+  static mont52::V5 vc;
+  if(!init){
+    Fp c16 = R1;                       // 2^256 mod q
+    for(int i=0;i<4;i++) add_mod(c16, c16, c16);   // 2^260... x16 = 2^260
+    // we need the PLAIN value 2^264 mod q = R1 * 256 mod q
+    for(int i=0;i<4;i++) add_mod(c16, c16, c16);   // 2^264? no: 8 doublings of R1 = R1*256
+    alignas(64) u64 cols[5][8];
+    u64 t[5];
+    mont52::split52(c16.v, t);
+    for(int j=0;j<5;j++) for(int k=0;k<8;k++) cols[j][k]=t[j];
+    for(int j=0;j<5;j++) vc.l[j]=_mm512_load_si512((const void*)cols[j]);
+    init=true;
+  }
+  return vc;
+}
+static int msm_use_ifma(){
+  static int v = -1;
+  if(v < 0) v = __builtin_cpu_supports("avx512ifma")
+                && !getenv("JOLT_ATLAS_NO_IFMA");
+  return v;
+}
+#endif  // MONT52_AVAILABLE
 static inline bool is_zero(const Fp&a){ return !(a.v[0]|a.v[1]|a.v[2]|a.v[3]); }
 static inline bool eq_fp(const Fp&a, const Fp&b){
   return a.v[0]==b.v[0]&&a.v[1]==b.v[1]&&a.v[2]==b.v[2]&&a.v[3]==b.v[3];
@@ -332,12 +375,13 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
                  const std::pair<int64_t,int32_t>&b){return a.first>b.first;});
     std::vector<int32_t> batch_b; std::vector<int64_t> batch_i;
     std::vector<uint8_t> batch_dbl;
-    std::vector<Fp> dens, prefix;
+    std::vector<Fp> dens, prefix, nums;
     int64_t active=(int64_t)groups.size();
     for(int64_t ep=0; ; ep++){
       while(active>0 && groups[active-1].first<=ep) active--;
       if(active==0) break;
       batch_b.clear(); batch_i.clear(); batch_dbl.clear(); dens.clear();
+      nums.clear();
       const int64_t PF=12;  // prefetch distance: gathers are the bottleneck
       for(int64_t g=0;g<active;g++){
         if(g+PF<active){
@@ -355,6 +399,9 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
             Fp den; add_mod(den,by[b],by[b]);
             batch_b.push_back(b); batch_i.push_back(i);
             batch_dbl.push_back(1); dens.push_back(den);
+            Fp x2; mont_sqr(x2,bx[b]);
+            Fp nm; add_mod(nm,x2,x2); add_mod(nm,nm,x2);
+            nums.push_back(nm);
           } else {                      // P + (-P): bucket empties
             bfull[b]=0;
           }
@@ -363,8 +410,149 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
         Fp den; sub_mod(den,PXI(i),bx[b]);  // lambda = (y2-y1)/(x2-x1)
         batch_b.push_back(b); batch_i.push_back(i);
         batch_dbl.push_back(0); dens.push_back(den);
+        Fp nm; sub_mod(nm,PYI(i),by[b]);
+        nums.push_back(nm);
       }
       size_t m=dens.size();
+#ifdef MONT52_AVAILABLE
+      if(m >= 16 && msm_use_ifma()){
+        using namespace mont52;
+        const Ctx& C = fq52_ctx();
+        const V5& VC = fq52_vc16();
+        const size_t m8 = (m + 7) & ~7ULL;
+        // pad with value 2^256 (R1 rows): invertible, lanes unused
+        dens.resize(m8, R1);
+        nums.resize(m8, R1);
+        auto to52g = [&](const Fp* base, size_t k) -> V5 {
+          alignas(64) u64 cols[5][8];
+          for(int kk=0;kk<8;kk++){
+            u64 t[5];
+            split52(base[k+kk].v, t);
+            for(int j=0;j<5;j++) cols[j][kk]=t[j];
+          }
+          V5 v;
+          for(int j=0;j<5;j++)
+            v.l[j]=_mm512_load_si512((const void*)cols[j]);
+          return v;
+        };
+        auto splat = [&](const Fp& x) -> V5 {
+          alignas(64) u64 cols[5][8];
+          u64 t[5];
+          split52(x.v, t);
+          for(int j=0;j<5;j++) for(int kk=0;kk<8;kk++) cols[j][kk]=t[j];
+          V5 v;
+          for(int j=0;j<5;j++)
+            v.l[j]=_mm512_load_si512((const void*)cols[j]);
+          return v;
+        };
+        auto lanes_out = [&](const V5& v, Fp* o8){
+          V5 r = reduce_full(C, v);
+          alignas(64) u64 cols[5][8];
+          for(int j=0;j<5;j++)
+            _mm512_store_si512((void*)cols[j], r.l[j]);
+          for(int kk=0;kk<8;kk++){
+            u64 t[5];
+            for(int j=0;j<5;j++) t[j]=cols[j][kk];
+            join52(t, o8[kk].v);
+          }
+        };
+        // forward chain: prefix16 (prescaled) + lane products
+        std::vector<u64> densS(5*m8), prefS(5*m8);
+        V5 lane = splat(R1);
+        for(size_t g=0; g<m8; g+=8){
+          V5 d16 = mul8(C, to52g(dens.data(), g), VC);
+          V5 pf16 = mul8(C, lane, VC);
+          for(int j=0;j<5;j++){
+            _mm512_storeu_si512((void*)(densS.data()+j*m8+g), d16.l[j]);
+            _mm512_storeu_si512((void*)(prefS.data()+j*m8+g), pf16.l[j]);
+          }
+          lane = mul8(C, lane, d16);
+        }
+        // grand product over the 8 lane totals (scalar) + Fermat
+        Fp lt[8];
+        lanes_out(lane, lt);
+        Fp lpre[9]; lpre[0]=R1;
+        for(int l=0;l<8;l++) mont_mul(lpre[l+1],lpre[l],lt[l]);
+        Fp inv_all; mont_pow(inv_all,lpre[8],QM2);
+        Fp lane_inv_s[8];
+        for(int l=8;l-- > 0;){
+          mont_mul(lane_inv_s[l],inv_all,lpre[l]);
+          mont_mul(inv_all,inv_all,lt[l]);
+        }
+        V5 linv;
+        {
+          alignas(64) u64 cols[5][8];
+          for(int kk=0;kk<8;kk++){
+            u64 t[5];
+            split52(lane_inv_s[kk].v, t);
+            for(int j=0;j<5;j++) cols[j][kk]=t[j];
+          }
+          for(int j=0;j<5;j++)
+            linv.l[j]=_mm512_load_si512((const void*)cols[j]);
+        }
+        // backward + affine adds fused per group (reverse order)
+        for(size_t g=m8; g>0; ){
+          g -= 8;
+          V5 d16, pf16;
+          for(int j=0;j<5;j++){
+            d16.l[j]=_mm512_loadu_si512((const void*)(densS.data()+j*m8+g));
+            pf16.l[j]=_mm512_loadu_si512((const void*)(prefS.data()+j*m8+g));
+          }
+          V5 ik8 = mul8(C, linv, pf16);
+          linv = mul8(C, linv, d16);
+          // affine adds for lanes g..g+7 (skip padding lanes >= m)
+          alignas(64) u64 cbx[5][8], cpx[5][8], cnum[5][8];
+          int live[8]; int nlive=0;
+          for(int kk=0;kk<8;kk++){
+            size_t k = g + kk;
+            if(k >= m){ for(int j=0;j<5;j++){cbx[j][kk]=0;cpx[j][kk]=0;cnum[j][kk]=0;} continue; }
+            live[nlive++] = kk;
+            u64 t[5];
+            split52(bx[batch_b[k]].v, t);
+            for(int j=0;j<5;j++) cbx[j][kk]=t[j];
+            split52(P[2*batch_i[k]].v, t);
+            for(int j=0;j<5;j++) cpx[j][kk]=t[j];
+            split52(nums[k].v, t);
+            for(int j=0;j<5;j++) cnum[j][kk]=t[j];
+          }
+          V5 vbx, vpx, vnum;
+          for(int j=0;j<5;j++){
+            vbx.l[j]=_mm512_load_si512((const void*)cbx[j]);
+            vpx.l[j]=_mm512_load_si512((const void*)cpx[j]);
+            vnum.l[j]=_mm512_load_si512((const void*)cnum[j]);
+          }
+          V5 num16 = mul8(C, vnum, VC);
+          V5 lam = mul8(C, num16, ik8);
+          V5 lam16 = mul8(C, lam, VC);
+          V5 lam2 = mul8(C, lam16, lam);             // < 2p
+          V5 x3 = sub8(C, sub8(C, lam2, vbx), vpx);  // < ~6p
+          x3 = cond_sub(C, cond_sub(C, cond_sub(C, x3, 2), 1), 0);
+          V5 t5 = sub8(C, vbx, x3);
+          alignas(64) u64 cby[5][8];
+          for(int kk=0;kk<8;kk++){
+            size_t k = g + kk;
+            if(k >= m){ for(int j=0;j<5;j++) cby[j][kk]=0; continue; }
+            u64 t[5];
+            split52(by[batch_b[k]].v, t);
+            for(int j=0;j<5;j++) cby[j][kk]=t[j];
+          }
+          V5 vby;
+          for(int j=0;j<5;j++)
+            vby.l[j]=_mm512_load_si512((const void*)cby[j]);
+          V5 yv = sub8(C, mul8(C, lam16, t5), vby);
+          Fp ox[8], oy[8];
+          lanes_out(x3, ox);
+          lanes_out(yv, oy);
+          for(int li=0; li<nlive; li++){
+            int kk = live[li];
+            size_t k = g + kk;
+            int b = batch_b[k];
+            bx[b]=ox[kk]; by[b]=oy[kk];
+          }
+        }
+        continue;  // next epoch
+      }
+#endif
       if(m){
         // Montgomery batch inversion in L interleaved lanes (lane of k is
         // k%L): a single prefix/suffix chain is latency-bound on the
