@@ -413,185 +413,6 @@ void frv_i64_mat_vec(const i64* m, const u64* x, i64 V, i64 E, u64* out){
   }
 }
 
-// ---- fused sumcheck instance kernels ---------------------------------------
-//
-// A sumcheck instance is P rows (eq table + named polynomials, all length n)
-// plus T weighted product terms over row indices. One round message =
-// one frv_terms_round call; one challenge binding = one frv_bind_rows call.
-// This replaces hundreds of per-factor elementwise kernel launches per round
-// (the reference gets the same effect from rayon fold loops in
-// subprotocols/sumcheck.rs).
-
-// rows: (P, n) of u64x4. coeffs: (T,4) Montgomery. offsets: (T+1) prefix
-// index into fidx; fidx: flat factor row-indices. out: (nevals, 4) sums for
-// the ladder [P(0), P(2), ..., P(d)] where nevals = max(1, d).
-void frv_terms_round(const u64* rows, i64 P, i64 n, int nevals,
-                     const u64* coeffs, const i64* offsets, const i64* fidx,
-                     i64 T, u64* out){
-  i64 half=n/2;
-  const int MAXE=20, MAXP=96;  // degree/row caps (checked Python-side)
-  Fr4 total[MAXE];
-  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
-  #pragma omp parallel if(half*P>PAR_THRESH)
-  {
-    Fr4 local[MAXE];
-    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
-    Fr4 e[MAXP][MAXE];
-    #pragma omp for schedule(static) nowait
-    for(i64 j=0;j<half;j++){
-      for(i64 p=0;p<P;p++){
-        Fr4 lo,hi,d;
-        memcpy(lo.v,rows+(p*n+j)*4,32);
-        memcpy(hi.v,rows+(p*n+half+j)*4,32);
-        e[p][0]=lo;                      // P(0)
-        if(nevals>1){
-          fr_sub(d,hi,lo);
-          Fr4 cur=hi;                    // P(1)
-          for(int t=1;t<nevals;t++){
-            fr_add(cur,cur,d);           // P(2), P(3), ...
-            e[p][t]=cur;
-          }
-        }
-      }
-      for(int t=0;t<nevals;t++){
-        for(i64 k=0;k<T;k++){
-          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
-          for(i64 f=offsets[k];f<offsets[k+1];f++)
-            fr_mul(prod,prod,e[fidx[f]][t]);
-          fr_add(local[t],local[t],prod);
-        }
-      }
-    }
-    #pragma omp critical
-    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
-  }
-  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
-}
-
-// Pointer-array variants: rows passed as P separate contiguous buffers, so
-// instance construction never copies and binding halves in place.
-
-// aux products: shared factor-prefix subproducts computed once per (j, t)
-// (common-subexpression elimination for e.g. the satclamp overflow
-// indicators, which appear in ~10 terms each). fidx entries >= P reference
-// aux slot (idx - P); aux factor lists reference rows only.
-void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
-                       const u64* coeffs, const i64* offsets, const i64* fidx,
-                       i64 T, const i64* aux_offsets, const i64* aux_fidx,
-                       i64 A, u64* out){
-  i64 half=n/2;
-  const int MAXE=20, MAXP=96, MAXA=16;
-  Fr4 total[MAXE];
-  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
-  #pragma omp parallel if(half*P>PAR_THRESH)
-  {
-    Fr4 local[MAXE];
-    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
-    Fr4 e[MAXP+MAXA][MAXE];
-    #pragma omp for schedule(static) nowait
-    for(i64 j=0;j<half;j++){
-      for(i64 p=0;p<P;p++){
-        Fr4 lo,hi,d;
-        memcpy(lo.v,rows[p]+j*4,32);
-        memcpy(hi.v,rows[p]+(half+j)*4,32);
-        e[p][0]=lo;
-        if(nevals>1){
-          fr_sub(d,hi,lo);
-          Fr4 cur=hi;
-          for(int t=1;t<nevals;t++){
-            fr_add(cur,cur,d);
-            e[p][t]=cur;
-          }
-        }
-      }
-      for(i64 a=0;a<A;a++){
-        for(int t=0;t<nevals;t++){
-          Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
-          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
-            fr_mul(prod,prod,e[aux_fidx[f]][t]);
-          e[P+a][t]=prod;
-        }
-      }
-      for(int t=0;t<nevals;t++){
-        for(i64 k=0;k<T;k++){
-          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
-          for(i64 f=offsets[k];f<offsets[k+1];f++)
-            fr_mul(prod,prod,e[fidx[f]][t]);
-          fr_add(local[t],local[t],prod);
-        }
-      }
-    }
-    #pragma omp critical
-    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
-  }
-  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
-}
-
-// in-place HighToLow bind of each row buffer (first half overwritten)
-void frv_bind_rows_p(u64* const* rows, i64 P, i64 n, const u64* r){
-  Fr4 rc; memcpy(rc.v,r,32);
-  i64 half=n/2;
-  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
-  for(i64 p=0;p<P;p++){
-    for(i64 j=0;j<half;j++){
-      if(fr4_zero(rows[p]+j*4) && fr4_zero(rows[p]+(half+j)*4))
-        continue;  // zero-skip (lo already 0 in place)
-      Fr4 lo,hi,d;
-      memcpy(lo.v,rows[p]+j*4,32);
-      memcpy(hi.v,rows[p]+(half+j)*4,32);
-      fr_sub(d,hi,lo);
-      fr_mul(d,d,rc);
-      fr_add(lo,lo,d);
-      memcpy(rows[p]+j*4,lo.v,32);
-    }
-  }
-}
-
-// bind every row HighToLow: out_rows (P, n/2)
-void frv_bind_rows(const u64* rows, i64 P, i64 n, const u64* r, u64* out){
-  Fr4 rc; memcpy(rc.v,r,32);
-  i64 half=n/2;
-  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
-  for(i64 p=0;p<P;p++){
-    for(i64 j=0;j<half;j++){
-      Fr4 lo,hi,d;
-      memcpy(lo.v,rows+(p*n+j)*4,32);
-      memcpy(hi.v,rows+(p*n+half+j)*4,32);
-      fr_sub(d,hi,lo);
-      fr_mul(d,d,rc);
-      fr_add(lo,lo,d);
-      memcpy(out+(p*half+j)*4,lo.v,32);
-    }
-  }
-}
-
-// ---- eq table expansion ----------------------------------------------------
-
-// eq(r, x) table over {0,1}^m, interleaved build (r[0] = MSB of the final
-// index, matching poly/eq.py): level k doubles the table making r[k] the new
-// LSB. out: (2^m, 4). scratch: (2^(m-1), 4). scale: (1,4) Montgomery factor
-// folded into the table (pass R1 for none).
-void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
-                   u64* scratch){
-  Fr4 s; memcpy(s.v, scale, 32);
-  memcpy(out, s.v, 32);
-  i64 len = 1;
-  for(i64 k = 0; k < m; k++){
-    Fr4 rk; memcpy(rk.v, r + k*4, 32);
-    memcpy(scratch, out, (size_t)len * 32);
-    #pragma omp parallel for schedule(static) if(len > PAR_THRESH)
-    for(i64 j = 0; j < len; j++){
-      Fr4 cur, hi, lo;
-      memcpy(cur.v, scratch + j*4, 32);
-      fr_mul(hi, cur, rk);
-      fr_sub(lo, cur, hi);
-      memcpy(out + (2*j)*4, lo.v, 32);
-      memcpy(out + (2*j+1)*4, hi.v, 32);
-    }
-    len *= 2;
-  }
-}
-
 int frv52_available();  // defined in the engine section below
 
 static int use_ifma(){
@@ -929,6 +750,195 @@ static void gruen_round_ifma(const bool BIND,
   for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
 }
 #endif  // MONT52_AVAILABLE
+
+// ---- fused sumcheck instance kernels ---------------------------------------
+//
+// A sumcheck instance is P rows (eq table + named polynomials, all length n)
+// plus T weighted product terms over row indices. One round message =
+// one frv_terms_round call; one challenge binding = one frv_bind_rows call.
+// This replaces hundreds of per-factor elementwise kernel launches per round
+// (the reference gets the same effect from rayon fold loops in
+// subprotocols/sumcheck.rs).
+
+// rows: (P, n) of u64x4. coeffs: (T,4) Montgomery. offsets: (T+1) prefix
+// index into fidx; fidx: flat factor row-indices. out: (nevals, 4) sums for
+// the ladder [P(0), P(2), ..., P(d)] where nevals = max(1, d).
+void frv_terms_round(const u64* rows, i64 P, i64 n, int nevals,
+                     const u64* coeffs, const i64* offsets, const i64* fidx,
+                     i64 T, u64* out){
+  i64 half=n/2;
+  const int MAXE=20, MAXP=96;  // degree/row caps (checked Python-side)
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 lo,hi,d;
+        memcpy(lo.v,rows+(p*n+j)*4,32);
+        memcpy(hi.v,rows+(p*n+half+j)*4,32);
+        e[p][0]=lo;                      // P(0)
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;                    // P(1)
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);           // P(2), P(3), ...
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(int t=0;t<nevals;t++){
+        for(i64 k=0;k<T;k++){
+          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
+          for(i64 f=offsets[k];f<offsets[k+1];f++)
+            fr_mul(prod,prod,e[fidx[f]][t]);
+          fr_add(local[t],local[t],prod);
+        }
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// Pointer-array variants: rows passed as P separate contiguous buffers, so
+// instance construction never copies and binding halves in place.
+
+// aux products: shared factor-prefix subproducts computed once per (j, t)
+// (common-subexpression elimination for e.g. the satclamp overflow
+// indicators, which appear in ~10 terms each). fidx entries >= P reference
+// aux slot (idx - P); aux factor lists reference rows only.
+void frv_terms_round_p(const u64* const* rows, i64 P, i64 n, int nevals,
+                       const u64* coeffs, const i64* offsets, const i64* fidx,
+                       i64 T, const i64* aux_offsets, const i64* aux_fidx,
+                       i64 A, u64* out){
+  i64 half=n/2;
+#ifdef MONT52_AVAILABLE
+  if(use_ifma() && half >= 8 && (half & 7) == 0){
+    // weightless instance: the Gruen IFMA body with no eq tables
+    gruen_round_ifma(false, rows, P, n, 0, 0, nevals, coeffs, offsets,
+                     fidx, T, aux_offsets, aux_fidx, A,
+                     0, 1, 0, 0, -1, out);
+    return;
+  }
+#endif
+  const int MAXE=20, MAXP=96, MAXA=16;
+  Fr4 total[MAXE];
+  for(int t=0;t<nevals;t++) total[t]=Fr4{{0,0,0,0}};
+  #pragma omp parallel if(half*P>PAR_THRESH)
+  {
+    Fr4 local[MAXE];
+    for(int t=0;t<nevals;t++) local[t]=Fr4{{0,0,0,0}};
+    Fr4 e[MAXP+MAXA][MAXE];
+    #pragma omp for schedule(static) nowait
+    for(i64 j=0;j<half;j++){
+      for(i64 p=0;p<P;p++){
+        Fr4 lo,hi,d;
+        memcpy(lo.v,rows[p]+j*4,32);
+        memcpy(hi.v,rows[p]+(half+j)*4,32);
+        e[p][0]=lo;
+        if(nevals>1){
+          fr_sub(d,hi,lo);
+          Fr4 cur=hi;
+          for(int t=1;t<nevals;t++){
+            fr_add(cur,cur,d);
+            e[p][t]=cur;
+          }
+        }
+      }
+      for(i64 a=0;a<A;a++){
+        for(int t=0;t<nevals;t++){
+          Fr4 prod=e[aux_fidx[aux_offsets[a]]][t];
+          for(i64 f=aux_offsets[a]+1;f<aux_offsets[a+1];f++)
+            fr_mul(prod,prod,e[aux_fidx[f]][t]);
+          e[P+a][t]=prod;
+        }
+      }
+      for(int t=0;t<nevals;t++){
+        for(i64 k=0;k<T;k++){
+          Fr4 prod; memcpy(prod.v,coeffs+k*4,32);
+          for(i64 f=offsets[k];f<offsets[k+1];f++)
+            fr_mul(prod,prod,e[fidx[f]][t]);
+          fr_add(local[t],local[t],prod);
+        }
+      }
+    }
+    #pragma omp critical
+    for(int t=0;t<nevals;t++) fr_add(total[t],total[t],local[t]);
+  }
+  for(int t=0;t<nevals;t++) memcpy(out+t*4,total[t].v,32);
+}
+
+// in-place HighToLow bind of each row buffer (first half overwritten)
+void frv_bind_rows_p(u64* const* rows, i64 P, i64 n, const u64* r){
+  Fr4 rc; memcpy(rc.v,r,32);
+  i64 half=n/2;
+  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
+  for(i64 p=0;p<P;p++){
+    for(i64 j=0;j<half;j++){
+      if(fr4_zero(rows[p]+j*4) && fr4_zero(rows[p]+(half+j)*4))
+        continue;  // zero-skip (lo already 0 in place)
+      Fr4 lo,hi,d;
+      memcpy(lo.v,rows[p]+j*4,32);
+      memcpy(hi.v,rows[p]+(half+j)*4,32);
+      fr_sub(d,hi,lo);
+      fr_mul(d,d,rc);
+      fr_add(lo,lo,d);
+      memcpy(rows[p]+j*4,lo.v,32);
+    }
+  }
+}
+
+// bind every row HighToLow: out_rows (P, n/2)
+void frv_bind_rows(const u64* rows, i64 P, i64 n, const u64* r, u64* out){
+  Fr4 rc; memcpy(rc.v,r,32);
+  i64 half=n/2;
+  #pragma omp parallel for schedule(static) collapse(2) if(half*P>PAR_THRESH)
+  for(i64 p=0;p<P;p++){
+    for(i64 j=0;j<half;j++){
+      Fr4 lo,hi,d;
+      memcpy(lo.v,rows+(p*n+j)*4,32);
+      memcpy(hi.v,rows+(p*n+half+j)*4,32);
+      fr_sub(d,hi,lo);
+      fr_mul(d,d,rc);
+      fr_add(lo,lo,d);
+      memcpy(out+(p*half+j)*4,lo.v,32);
+    }
+  }
+}
+
+// ---- eq table expansion ----------------------------------------------------
+
+// eq(r, x) table over {0,1}^m, interleaved build (r[0] = MSB of the final
+// index, matching poly/eq.py): level k doubles the table making r[k] the new
+// LSB. out: (2^m, 4). scratch: (2^(m-1), 4). scale: (1,4) Montgomery factor
+// folded into the table (pass R1 for none).
+void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
+                   u64* scratch){
+  Fr4 s; memcpy(s.v, scale, 32);
+  memcpy(out, s.v, 32);
+  i64 len = 1;
+  for(i64 k = 0; k < m; k++){
+    Fr4 rk; memcpy(rk.v, r + k*4, 32);
+    memcpy(scratch, out, (size_t)len * 32);
+    #pragma omp parallel for schedule(static) if(len > PAR_THRESH)
+    for(i64 j = 0; j < len; j++){
+      Fr4 cur, hi, lo;
+      memcpy(cur.v, scratch + j*4, 32);
+      fr_mul(hi, cur, rk);
+      fr_sub(lo, cur, hi);
+      memcpy(out + (2*j)*4, lo.v, 32);
+      memcpy(out + (2*j+1)*4, hi.v, 32);
+    }
+    len *= 2;
+  }
+}
+
 
 // ---- Gruen split-eq fused rounds --------------------------------------------
 //
