@@ -233,11 +233,21 @@ def _small_table(n: int) -> np.ndarray:
 _SCALAR_CACHE: dict[int, np.ndarray] = {}
 
 
+def _evict_scalar_cache() -> None:
+    """Drop the oldest half (insertion order). A wholesale clear() threw
+    away every hot entry (round challenges, batching coefficients) ~10
+    times per prove once the per-round claim/scalar seeding pushed the
+    population past the old 4096 cap."""
+    drop = len(_SCALAR_CACHE) // 2
+    for k in list(_SCALAR_CACHE.keys())[:drop]:
+        del _SCALAR_CACHE[k]
+
+
 def _fr_limbs_cached(x: Fr) -> np.ndarray:
     got = _SCALAR_CACHE.get(x.v)
     if got is None:
-        if len(_SCALAR_CACHE) > 4096:
-            _SCALAR_CACHE.clear()
+        if len(_SCALAR_CACHE) > (1 << 17):
+            _evict_scalar_cache()
         got = _fr_limbs(x)
         _SCALAR_CACHE[x.v] = got
     return got
@@ -1080,8 +1090,8 @@ def mul_seed_cache(a: Fr, b: Fr) -> Fr:
         ra, rb = _fr_limbs_cached(a), _fr_limbs_cached(b)
         out = np.empty((1, 4), dtype=np.uint64)
         _load().frv_mul(ra.ctypes.data, rb.ctypes.data, out.ctypes.data, 1)
-        if len(_SCALAR_CACHE) > 4096:
-            _SCALAR_CACHE.clear()
+        if len(_SCALAR_CACHE) > (1 << 17):
+            _evict_scalar_cache()
         _SCALAR_CACHE[prod.v] = out
     return prod
 
