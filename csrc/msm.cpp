@@ -613,10 +613,40 @@ void msm_g1_pre(const uint8_t* prep, const uint8_t* scalars, int64_t n,
         }
       }
     }
+    // window value = sum_b (b+1) * S_b. The classic running-sum visits
+    // every bucket index (2 * 2^c point ops even when half the buckets
+    // are empty); instead walk the nonempty buckets descending and add
+    // gap * running between them (double-and-add on the gap, ~log2(gap)
+    // ops — gap is 1 almost everywhere in dense windows).
     Pt running, acc; pt_set_inf(running); pt_set_inf(acc);
-    for(int b=nbuckets-1;b>=0;b--){
-      if(bfull[b]) pt_add_affine(running,running,bx[b],by[b]);
-      pt_add(acc,acc,running);
+    {
+      int64_t prev = nbuckets;  // index AFTER the previous nonempty
+      for(int64_t b=nbuckets-1;b>=0;b--){
+        if(!bfull[b]) continue;
+        pt_add_affine(running,running,bx[b],by[b]);
+        prev = b;
+        // gap to the next nonempty below (found by the loop); handled
+        // by accumulating when we know the gap — restructure: peek next
+        int64_t nb2 = b-1;
+        while(nb2 >= 0 && !bfull[nb2]) nb2--;
+        int64_t gap = b - (nb2 < 0 ? -1 : nb2);
+        // acc += gap * running
+        if(gap == 1){
+          pt_add(acc,acc,running);
+        } else {
+          Pt t = running;
+          Pt part; pt_set_inf(part);
+          uint64_t g = (uint64_t)gap;
+          while(g){
+            if(g & 1) pt_add(part,part,t);
+            g >>= 1;
+            if(g) pt_double(t,t);
+          }
+          pt_add(acc,acc,part);
+        }
+        b = nb2 + 1;  // loop decrement lands on nb2
+      }
+      (void)prev;
     }
     window_sums[w]=acc;
   }
