@@ -926,6 +926,45 @@ void frv_eq_expand(const u64* r, i64 m, const u64* scale, u64* out,
   for(i64 k = 0; k < m; k++){
     Fr4 rk; memcpy(rk.v, r + k*4, 32);
     memcpy(scratch, out, (size_t)len * 32);
+#ifdef MONT52_AVAILABLE
+    if(use_ifma() && len >= 8){
+      using namespace mont52;
+      const Interop& io = fr52_io();
+      const Ctx& C = io.ctx;
+      Fr4 mont16 = R1;
+      for(int i=0;i<4;i++) fr_add(mont16, mont16, mont16);
+      Fr4 rk16; fr_mul(rk16, rk, mont16);
+      V5 rv;
+      {
+        alignas(64) u64 cols[5][8];
+        u64 t[5];
+        split52(rk16.v, t);
+        for(int j=0;j<5;j++) for(int kk=0;kk<8;kk++) cols[j][kk]=t[j];
+        for(int j=0;j<5;j++)
+          rv.l[j]=_mm512_load_si512((const void*)cols[j]);
+      }
+      #pragma omp parallel for schedule(static) if(len > PAR_THRESH)
+      for(i64 j = 0; j < len; j += 8){
+        V5 cur = to52_8(io, scratch + j*4);
+        V5 hi = reduce8(C, mul8(C, cur, rv));
+        V5 lo = reduce_full(C, sub8(C, cur, hi));
+        alignas(64) u64 chh[5][8], cll[5][8];
+        for(int q=0;q<5;q++){
+          _mm512_store_si512((void*)chh[q], hi.l[q]);
+          _mm512_store_si512((void*)cll[q], lo.l[q]);
+        }
+        for(int kk=0;kk<8;kk++){
+          u64 t[5];
+          for(int q=0;q<5;q++) t[q]=cll[q][kk];
+          join52(t, out + (2*(j+kk))*4);
+          for(int q=0;q<5;q++) t[q]=chh[q][kk];
+          join52(t, out + (2*(j+kk)+1)*4);
+        }
+      }
+      len *= 2;
+      continue;
+    }
+#endif
     #pragma omp parallel for schedule(static) if(len > PAR_THRESH)
     for(i64 j = 0; j < len; j++){
       Fr4 cur, hi, lo;
