@@ -9,17 +9,14 @@
 // Conversion 4x64 <-> 5x52 is a cheap shift/mask shuffle done at the
 // kernel boundary.
 //
-// Montgomery domain: R52 = 2^260 (vs R = 2^256 for the 4x64 engine).
-// To interoperate with the 4x64 Montgomery values (a*2^256), the
-// conversion multiplies by 2^4 going in and by 2^-4 coming out — or the
-// caller works end-to-end in the 52-bit domain. Here we keep the SAME
-// Montgomery residue (a*2^256 mod p) and use mont52 reduction with
-// R52 = 2^260: mul(a*R, b*R) * R52^{-1} = a*b*R^2 / 2^260 = a*b*R/16.
-// A final multiply by the constant 2^4*R52 mod p... — to avoid this
-// bookkeeping entirely, mul52 instead REQUIRES inputs in the 52-domain
-// (a * 2^260 mod p) and provides to52/from52 converting from/to the
-// 4x64 Montgomery domain with one extra shift-multiply folded into the
-// conversion's reduction.
+// Montgomery domain: mul8 reduces by 2^260 (five 52-bit limbs) while the
+// scalar 4x64 engine reduces by 2^256, so each mul8 drifts the result by
+// 2^-4. Values are kept as the PLAIN radix-52 split of the 4x64
+// Montgomery residue (exact, < p — every carry/borrow bound holds), and
+// callers compensate the drift by pre-scaling exactly ONE operand per
+// multiply with the plain value 2^260 ("mont(16)" = 16 * 2^256 mod p for
+// constants and small tables, or 2^264 mod p applied vectorially) —
+// see the kernel call sites in frvec.cpp / msm.cpp.
 
 #pragma once
 #if defined(__AVX512IFMA__) && defined(__AVX512VL__)
