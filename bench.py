@@ -126,7 +126,9 @@ def main():
     try:
         sys.path.insert(0, "tests")
         from conftest import device_tests_enabled
-        out["device_tests"] = ("warm" if device_tests_enabled() else "cold")
+        out["device_tests"] = {
+            k: ("warm" if device_tests_enabled(k) else "cold")
+            for k in ("msm", "reduction")}
     except Exception:
         out["device_tests"] = "unknown"
     print(json.dumps(out))

@@ -25,25 +25,29 @@ jax.config.update("jax_enable_x64", True)
 # successful run has left the cache warm (marker below), otherwise require
 # the JOLT_ATLAS_SLOW_TESTS=1 opt-in that pays the one-time compile.
 
-def _device_cache_marker() -> str:
+def _device_cache_marker(kind: str = "") -> str:
     from jolt_atlas_tpu.tpu import enable_compile_cache  # noqa: F401
     import jax
     d = jax.config.jax_compilation_cache_dir or "/tmp/.jax_cache"
-    return os.path.join(d, "device_tests_warm")
+    return os.path.join(d, "device_tests_warm"
+                        + ("_" + kind if kind else ""))
 
 
-def device_tests_enabled() -> bool:
+def device_tests_enabled(kind: str = "") -> bool:
+    # per-engine warm gate: msm and reduction kernels compile
+    # independently (reduction takes far longer on the CPU backend)
     if os.environ.get("JOLT_ATLAS_SLOW_TESTS", "") not in ("", "0"):
         return True
     try:
-        return os.path.exists(_device_cache_marker())
+        return (os.path.exists(_device_cache_marker(kind))
+                or os.path.exists(_device_cache_marker()))
     except Exception:
         return False
 
 
-def mark_device_tests_warm() -> None:
+def mark_device_tests_warm(kind: str = "") -> None:
     try:
-        path = _device_cache_marker()
+        path = _device_cache_marker(kind)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             f.write("device-engine kernels compiled and cached\n")

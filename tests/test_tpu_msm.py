@@ -18,7 +18,7 @@ import pytest
 from conftest import device_tests_enabled, mark_device_tests_warm
 
 pytestmark = pytest.mark.skipif(
-    not device_tests_enabled(),
+    not device_tests_enabled("msm"),
     reason="first run compiles XLA kernels for minutes; set "
            "JOLT_ATLAS_SLOW_TESTS=1 once to seed .jax_cache, "
            "after which these run by default")
@@ -73,4 +73,4 @@ def test_device_msm_matches_host():
     equal = pack_scalars([Fr(FR_MODULUS - 3)] * n)
     with pytest.raises(tmsm._GridSkewError):
         dev.msm_batch_packed([equal], [n])
-    mark_device_tests_warm()  # later runs hit the compile cache -> fast
+    mark_device_tests_warm("msm")  # later runs hit the compile cache -> fast

@@ -20,7 +20,7 @@ import pytest
 from conftest import device_tests_enabled, mark_device_tests_warm
 
 pytestmark = pytest.mark.skipif(
-    not device_tests_enabled(),
+    not device_tests_enabled("reduction"),
     reason="first run compiles XLA kernels for minutes; set "
            "JOLT_ATLAS_SLOW_TESTS=1 once to seed .jax_cache, "
            "after which these run by default")
@@ -75,4 +75,4 @@ def test_device_reduction_byte_exact():
     assert blob_full == blob_off, "full-device schedule changed proof bytes"
     assert AtlasVerifier(pp).verify(proof, io)
     assert AtlasVerifier(pp).verify(proof_f, io_f)
-    mark_device_tests_warm()  # later runs hit the compile cache -> fast
+    mark_device_tests_warm("reduction")  # later runs hit the compile cache -> fast
