@@ -210,6 +210,18 @@ void frv_axpy(const u64* a, const u64* s, const u64* b, u64* out, i64 n){
   }
 }
 
+// Parallel zero fill (u64 words). numpy's calloc reuses dirty arena pages
+// for large short-lived buffers, so np.zeros degrades to a serial memset;
+// this spreads the page-touch across cores.
+void frv_zero(u64* out, i64 nwords){
+  #pragma omp parallel
+  {
+    int nt=omp_get_num_threads(), t=omp_get_thread_num();
+    i64 lo=nwords*(i64)t/nt, hi=nwords*(i64)(t+1)/nt;
+    if(hi>lo) memset(out+lo, 0, (size_t)(hi-lo)*8);
+  }
+}
+
 // ---- reductions ------------------------------------------------------------
 
 void frv_sum(const u64* a, i64 n, u64* out){
@@ -333,12 +345,17 @@ void frv_scatter_add(const u64* vals, const i64* idx, i64 T, u64* out,
 // whole idx stream — collision-free without atomics, and no T-length value
 // array is ever materialized (the old path built an FrArray.full per
 // member and ran a serial scatter: ~3.3 s/prove at bench scale).
+// init != 0: zero-fill each thread's range partition before scattering
+// (fuses the accumulator memset into the same parallel pass — callers
+// with one-hot-only groups otherwise paid a serial np.zeros page-memset).
 void frv_scatter_const_ranges(const u64* gammas, const i64* offs,
-                              i64 nmemb, const i64* idx, u64* out, i64 K){
+                              i64 nmemb, const i64* idx, u64* out, i64 K,
+                              int init){
   #pragma omp parallel
   {
     int nt=omp_get_num_threads(), t=omp_get_thread_num();
     i64 lo=K*(i64)t/nt, hi=K*(i64)(t+1)/nt;
+    if(init && hi>lo) memset(out+lo*4, 0, (size_t)(hi-lo)*32);
     for(i64 j=0;j<nmemb;j++){
       Fr4 g; memcpy(g.v,gammas+j*4,32);
       for(i64 k=offs[j];k<offs[j+1];k++){

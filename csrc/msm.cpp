@@ -794,18 +794,23 @@ void msm_g1_pre_onehot(const uint8_t* prep, const int64_t* idx, int64_t T,
       } }
     #pragma omp parallel
     {
-      // 8 affine lane accumulators per thread; equal-x collisions spill
+      // 64 affine lane accumulators per thread; equal-x collisions spill
       // to a Jacobian side accumulator (rare: requires the same SRS base
-      // or its negation landing twice in one lane)
-      Fp ax[8], ay[8];
-      uint8_t full[8] = {0,0,0,0,0,0,0,0};
+      // or its negation landing twice in one lane). 64 lanes amortize the
+      // batch inversion's Fermat exponentiation (~370 muls) to ~6 muls per
+      // point instead of ~46 at 8 lanes — the subset-sum commit phase was
+      // inversion-bound, not multiplier-bound.
+      enum { LN = 64 };
+      Fp ax[LN], ay[LN];
+      uint8_t full[LN];
+      memset(full, 0, sizeof(full));
       Pt spill; pt_set_inf(spill);
       #pragma omp for schedule(static) nowait
-      for(int64_t j0=0;j0<T;j0+=8){
-        int64_t cnt = T - j0 < 8 ? T - j0 : 8;
-        Fp dens[8], nums[8];
-        const Fp* pxs[8];
-        int use[8]; int nuse=0;
+      for(int64_t j0=0;j0<T;j0+=LN){
+        int64_t cnt = T - j0 < LN ? T - j0 : LN;
+        Fp dens[LN], nums[LN];
+        const Fp* pxs[LN];
+        int use[LN]; int nuse=0;
         for(int k=0;k<cnt;k++){
           const Fp& px = P[2*idx[j0+k]];
           const Fp& py = P[2*idx[j0+k]+1];
@@ -824,62 +829,65 @@ void msm_g1_pre_onehot(const uint8_t* prep, const int64_t* idx, int64_t T,
           use[nuse++] = k;
         }
         if(!nuse) continue;
-        for(int k=nuse;k<8;k++){ dens[k]=R1; nums[k]=R1; pxs[k]=pxs[0]; }
-        // batch inversion of 8 denominators: scalar chain (16 muls) +
-        // one Fermat — the vector math below is the multiplier-bound part
-        Fp pre[8]; Fp acc=R1;
-        for(int k=0;k<8;k++){ pre[k]=acc; mont_mul(acc,acc,dens[k]); }
+        // batch inversion of all nuse denominators: scalar chain
+        // (2*nuse muls) + ONE Fermat for the whole 64-point batch
+        Fp pre[LN]; Fp acc=R1;
+        for(int k=0;k<nuse;k++){ pre[k]=acc; mont_mul(acc,acc,dens[k]); }
         Fp inv_all; mont_pow(inv_all,acc,QM2C);
-        Fp ik[8];
-        for(int k=8;k-- > 0;){
+        Fp ik[LN];
+        for(int k=nuse;k-- > 0;){
           mont_mul(ik[k],inv_all,pre[k]);
           mont_mul(inv_all,inv_all,dens[k]);
         }
-        alignas(64) u64 cbx[5][8], cby[5][8], cpx[5][8], cnum[5][8],
-                        cik[5][8];
-        for(int k=0;k<8;k++){
-          int lane = k < nuse ? use[k] : use[0];
-          const Fp* px = pxs[k < nuse ? k : 0];
-          u64 t[5];
-          split52(ax[lane].v, t); for(int j=0;j<5;j++) cbx[j][k]=t[j];
-          split52(ay[lane].v, t); for(int j=0;j<5;j++) cby[j][k]=t[j];
-          split52(px->v, t);      for(int j=0;j<5;j++) cpx[j][k]=t[j];
-          split52(nums[k].v, t);  for(int j=0;j<5;j++) cnum[j][k]=t[j];
-          split52(ik[k].v, t);    for(int j=0;j<5;j++) cik[j][k]=t[j];
-        }
-        V5 vbx,vby,vpx,vnum,vik;
-        for(int j=0;j<5;j++){
-          vbx.l[j]=_mm512_load_si512((const void*)cbx[j]);
-          vby.l[j]=_mm512_load_si512((const void*)cby[j]);
-          vpx.l[j]=_mm512_load_si512((const void*)cpx[j]);
-          vnum.l[j]=_mm512_load_si512((const void*)cnum[j]);
-          vik.l[j]=_mm512_load_si512((const void*)cik[j]);
-        }
-        V5 num16 = mul8(C, vnum, VC);
-        V5 lam = mul8(C, num16, vik);
-        V5 lam16 = mul8(C, lam, VC);
-        V5 lam2 = mul8(C, lam16, lam);
-        V5 x3 = sub8(C, sub8(C, lam2, vbx), vpx);
-        x3 = cond_sub(C, cond_sub(C, cond_sub(C, x3, 2), 1), 0);
-        V5 t5 = sub8(C, vbx, x3);
-        V5 yv = sub8(C, mul8(C, lam16, t5), vby);
-        V5 rx = reduce_full(C, x3);
-        V5 ry = reduce_full(C, yv);
-        alignas(64) u64 gx[5][8], gy[5][8];
-        for(int j=0;j<5;j++){
-          _mm512_store_si512((void*)gx[j], rx.l[j]);
-          _mm512_store_si512((void*)gy[j], ry.l[j]);
-        }
-        for(int k=0;k<nuse;k++){
-          u64 t[5];
-          for(int j=0;j<5;j++) t[j]=gx[j][k];
-          join52(t, ax[use[k]].v);
-          for(int j=0;j<5;j++) t[j]=gy[j][k];
-          join52(t, ay[use[k]].v);
+        for(int b=0;b<nuse;b+=8){
+          int bn = nuse - b < 8 ? nuse - b : 8;
+          alignas(64) u64 cbx[5][8], cby[5][8], cpx[5][8], cnum[5][8],
+                          cik[5][8];
+          for(int k=0;k<8;k++){
+            int src = b + (k < bn ? k : 0);
+            int lane = use[src];
+            const Fp* px = pxs[src];
+            u64 t[5];
+            split52(ax[lane].v, t); for(int j=0;j<5;j++) cbx[j][k]=t[j];
+            split52(ay[lane].v, t); for(int j=0;j<5;j++) cby[j][k]=t[j];
+            split52(px->v, t);      for(int j=0;j<5;j++) cpx[j][k]=t[j];
+            split52(nums[src].v, t);for(int j=0;j<5;j++) cnum[j][k]=t[j];
+            split52(ik[src].v, t);  for(int j=0;j<5;j++) cik[j][k]=t[j];
+          }
+          V5 vbx,vby,vpx,vnum,vik;
+          for(int j=0;j<5;j++){
+            vbx.l[j]=_mm512_load_si512((const void*)cbx[j]);
+            vby.l[j]=_mm512_load_si512((const void*)cby[j]);
+            vpx.l[j]=_mm512_load_si512((const void*)cpx[j]);
+            vnum.l[j]=_mm512_load_si512((const void*)cnum[j]);
+            vik.l[j]=_mm512_load_si512((const void*)cik[j]);
+          }
+          V5 num16 = mul8(C, vnum, VC);
+          V5 lam = mul8(C, num16, vik);
+          V5 lam16 = mul8(C, lam, VC);
+          V5 lam2 = mul8(C, lam16, lam);
+          V5 x3 = sub8(C, sub8(C, lam2, vbx), vpx);
+          x3 = cond_sub(C, cond_sub(C, cond_sub(C, x3, 2), 1), 0);
+          V5 t5 = sub8(C, vbx, x3);
+          V5 yv = sub8(C, mul8(C, lam16, t5), vby);
+          V5 rx = reduce_full(C, x3);
+          V5 ry = reduce_full(C, yv);
+          alignas(64) u64 gx[5][8], gy[5][8];
+          for(int j=0;j<5;j++){
+            _mm512_store_si512((void*)gx[j], rx.l[j]);
+            _mm512_store_si512((void*)gy[j], ry.l[j]);
+          }
+          for(int k=0;k<bn;k++){
+            u64 t[5];
+            for(int j=0;j<5;j++) t[j]=gx[j][k];
+            join52(t, ax[use[b+k]].v);
+            for(int j=0;j<5;j++) t[j]=gy[j][k];
+            join52(t, ay[use[b+k]].v);
+          }
         }
       }
       Pt local = spill;
-      for(int k=0;k<8;k++)
+      for(int k=0;k<LN;k++)
         if(full[k]) pt_add_affine(local, local, ax[k], ay[k]);
       #pragma omp critical
       pt_add(total, total, local);

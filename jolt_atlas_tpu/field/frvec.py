@@ -106,7 +106,9 @@ def _load():
             ("frv_scatter_add", [_U64, _I64, ctypes.c_int64, _U64,
                                  ctypes.c_int64]),
             ("frv_scatter_const_ranges", [_U64, _I64, ctypes.c_int64, _I64,
-                                          _U64, ctypes.c_int64]),
+                                          _U64, ctypes.c_int64,
+                                          ctypes.c_int]),
+            ("frv_zero", [ctypes.c_void_p, ctypes.c_int64]),
             ("frv_i64_mat_vec", [_I64, _U64, ctypes.c_int64, ctypes.c_int64,
                                  _U64]),
             ("frv_syndiv", [_U64, _U64, ctypes.c_int64, _U64]),
@@ -264,6 +266,15 @@ class FrArray:
     # -- constructors ------------------------------------------------------
     @classmethod
     def zeros(cls, n: int) -> "FrArray":
+        # large buffers: parallel page-touch memset (csrc frv_zero) —
+        # np.zeros' calloc degrades to a serial memset once the allocator
+        # starts recycling dirty arena pages (~1.5 s/prove at bench scale)
+        if n >= (1 << 14):
+            lib = _load()
+            if lib is not None:
+                d = np.empty((n, 4), dtype=np.uint64)
+                lib.frv_zero(d.ctypes.data, 4 * n)
+                return cls(d)
         return cls(np.zeros((n, 4), dtype=np.uint64))
 
     @classmethod
@@ -888,7 +899,7 @@ def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
     np.cumsum([len(p) for p in parts], out=offs[1:])
     idx = np.ascontiguousarray(np.concatenate(parts), dtype=np.int64)
     _load().frv_scatter_const_ranges(gl, offs, len(parts), idx, acc.d,
-                                     len(acc))
+                                     len(acc), 0)
 
 
 def fr_inverse(x) -> "Fr | None":
