@@ -1233,4 +1233,60 @@ void bn_pairing_product(const uint8_t* g1s, const uint8_t* g2s, int64_t k,
   }
 }
 
+// Affine G2 (twist-coordinate) scalar multiplication: verifier-side
+// [Z_S(tau)]_2 assembly for the Shplonk single-witness batch opening
+// (kzg.py / hyperkzg.py). Canonical LE i/o (x.a,x.b,y.a,y.b 32B each);
+// double-and-add with an Fq2 inversion per step (~1 ms total).
+static void g2_affine_add(TwistPt&r, const TwistPt&a, const TwistPt&b){
+  if(a.inf){ r=b; return; }
+  if(b.inf){ r=a; return; }
+  Fq2v lam;
+  if(fq2_eq(a.x,b.x)){
+    Fq2v sy; fq2_add(sy,a.y,b.y);
+    if(is_zero(sy.a)&&is_zero(sy.b)){ r.inf=true; return; }
+    Fq2v x2,num,den,di;
+    fq2_mul(x2,a.x,a.x);
+    fq2_add(num,x2,x2); fq2_add(num,num,x2);
+    fq2_add(den,a.y,a.y);
+    fq2_inv(di,den); fq2_mul(lam,num,di);
+  } else {
+    Fq2v num,den,di;
+    fq2_sub(num,b.y,a.y); fq2_sub(den,b.x,a.x);
+    fq2_inv(di,den); fq2_mul(lam,num,di);
+  }
+  Fq2v l2,x3,t,y3;
+  fq2_mul(l2,lam,lam);
+  fq2_sub(x3,l2,a.x); fq2_sub(x3,x3,b.x);
+  fq2_sub(t,a.x,x3); fq2_mul(y3,lam,t); fq2_sub(y3,y3,a.y);
+  r.x=x3; r.y=y3; r.inf=false;
+}
+
+void g2_scalar_mul(const uint8_t* pt, const uint8_t* scalar,
+                   uint8_t* out, uint8_t* out_inf){
+  TwistPt P;
+  memcpy(P.x.a.v,pt,32);    memcpy(P.x.b.v,pt+32,32);
+  memcpy(P.y.a.v,pt+64,32); memcpy(P.y.b.v,pt+96,32);
+  P.inf = is_zero(P.x.a)&&is_zero(P.x.b)&&is_zero(P.y.a)&&is_zero(P.y.b);
+  if(!P.inf){
+    mont_mul(P.x.a,P.x.a,R2); mont_mul(P.x.b,P.x.b,R2);
+    mont_mul(P.y.a,P.y.a,R2); mont_mul(P.y.b,P.y.b,R2);
+  }
+  TwistPt acc; acc.inf=true;
+  int top=-1;
+  for(int b=255;b>=0;b--)
+    if(scalar[b/8]&(1u<<(b%8))){ top=b; break; }
+  for(int b=top;b>=0;b--){
+    TwistPt t;
+    g2_affine_add(t,acc,acc); acc=t;
+    if(scalar[b/8]&(1u<<(b%8))){ g2_affine_add(t,acc,P); acc=t; }
+  }
+  if(acc.inf||P.inf){ memset(out,0,128); *out_inf=1; return; }
+  Fp one={{1,0,0,0}}, c;
+  mont_mul(c,acc.x.a,one); memcpy(out,c.v,32);
+  mont_mul(c,acc.x.b,one); memcpy(out+32,c.v,32);
+  mont_mul(c,acc.y.a,one); memcpy(out+64,c.v,32);
+  mont_mul(c,acc.y.b,one); memcpy(out+96,c.v,32);
+  *out_inf=0;
+}
+
 }  // extern "C"

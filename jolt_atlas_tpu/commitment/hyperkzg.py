@@ -59,7 +59,7 @@ class HyperKZGProof:
             com.append(G1.deserialize(data[offset:offset + 64]))
             offset += 64
         w = []
-        for _ in range(3):
+        for _ in range(1):
             w.append(G1.deserialize(data[offset:offset + 64]))
             offset += 64
         ell = int.from_bytes(data[offset:offset + 8], "little")
@@ -135,14 +135,34 @@ class HyperKZG:
                     bi[idx] = (bi[idx] + qv * c.v) % FR_MODULUS
             b = [Fr(x) for x in bi]
 
+        # Shplonk-style single witness for all three opening points:
+        # h = (B - r_interp) / Z_S with Z_S = (X-u0)(X-u1)(X-u2), computed
+        # as three successive synthetic divisions (Newton divided-difference
+        # form: the discarded remainders ARE the interpolation of B on S,
+        # so r_interp never needs materializing). One n-point MSM replaces
+        # the three of the per-point scheme (reference opens per-point,
+        # hyperkzg/mod.rs:192; the verifier-side aggregation is standard
+        # BDFG20 batch KZG with [Z_S(tau)]_2 from the extended G2 powers).
+        assert u[0] != u[1] and u[0] != u[2] and u[1] != u[2]
         if native and prep is not None:
             from ..field import frvec
-            packed = [frvec.syndiv(b, ui).canonical().tobytes() for ui in u]
-            w = _msm_batch_packed(prep, packed)
+            h = b
+            for ui in u:
+                h = frvec.syndiv(h, ui)
+            w = [prep.msm_packed(h.canonical().tobytes(), len(h))]
         else:
-            w = [kzg_open_no_rem(srs, b, ui) for ui in u]
+            h = list(b)
+            for ui in u:
+                uv = ui.v
+                q = [Fr.zero()] * (len(h) - 1)
+                acc = 0
+                for i in range(len(h) - 1, 0, -1):
+                    acc = (h[i].v + acc * uv) % FR_MODULUS \
+                        if i < len(h) - 1 else h[i].v
+                    q[i - 1] = Fr(acc)
+                h = q
+            w = [kzg_commit(srs, h)]
         transcript.append_points(w)
-        transcript.challenge_scalar()  # d_0, keeps transcripts in lockstep
 
         return HyperKZGProof(com, w, v)
 
@@ -178,19 +198,20 @@ class HyperKZG:
     @staticmethod
     def _kzg_verify_batch(srs: KZGSRS, C: list[G1], W: list[G1], u: list[Fr],
                           v: list[list[Fr]], transcript) -> bool:
+        """BDFG20 batch check of the single Shplonk witness: with
+        r(X) interpolating (u_i, B(u_i)) and Z_S the vanishing cubic,
+        e(C_B - [r(tau)]_1, g2) == e(W, [Z_S(tau)]_2)."""
         k = len(C)
         flat = [x for row in v for x in row]
         transcript.append_scalars(flat)
         q_powers = transcript.challenge_scalar_powers(k)
         transcript.append_points(W)
-        d0 = transcript.challenge_scalar()
-        d1 = d0 * d0
 
-        if len(W) != 3 or len(u) != 3:
+        if len(W) != 1 or len(u) != 3 or srs.g2_powers is None:
+            return False
+        if u[0] == u[1] or u[0] == u[2] or u[1] == u[2]:
             return False
 
-        mult = Fr.one() + d0 + d1
-        q_mult = [q * mult for q in q_powers]
         # B(u_i) = sum_j q^j v[i][j]
         B_u = []
         for row in v:
@@ -199,16 +220,38 @@ class HyperKZG:
                 acc = acc + a * b
             B_u.append(acc)
 
-        bases = C + [W[0], W[1], W[2], srs.g1_powers[0]]
-        scalars = [q.v for q in q_mult] + [
-            u[0].v,
-            (u[1] * d0).v,
-            (u[2] * d1).v,
-            (Fr.zero() - (B_u[0] + d0 * B_u[1] + d1 * B_u[2])).v,
+        # r(X) = sum_i B(u_i) prod_{j!=i} (X - u_j)/(u_i - u_j), ascending
+        c_interp = [Fr.zero(), Fr.zero(), Fr.zero()]
+        for i in range(3):
+            ua, ub = u[(i + 1) % 3], u[(i + 2) % 3]
+            denom = (u[i] - ua) * (u[i] - ub)  # nonzero: u checked distinct
+            s = B_u[i] * denom.inverse()
+            # (X - ua)(X - ub) = X^2 - (ua+ub) X + ua ub
+            c_interp[0] = c_interp[0] + s * (ua * ub)
+            c_interp[1] = c_interp[1] - s * (ua + ub)
+            c_interp[2] = c_interp[2] + s
+
+        # C_B - [r(tau)]_1 in one MSM
+        bases = C + [srs.g1_powers[0], srs.g1_powers[1], srs.g1_powers[2]]
+        scalars = [q.v for q in q_powers] + [
+            (Fr.zero() - c_interp[0]).v,
+            (Fr.zero() - c_interp[1]).v,
+            (Fr.zero() - c_interp[2]).v,
         ]
         L = msm(bases, scalars)
-        R = W[0] + W[1] * d0.v + W[2] * d1.v
+
+        # [Z_S(tau)]_2 = tau^3 g2 - e2 tau^2 g2 + e1 tau g2 - e0 g2
+        e2 = u[0] + u[1] + u[2]
+        e1 = u[0] * u[1] + u[0] * u[2] + u[1] * u[2]
+        e0 = u[0] * u[1] * u[2]
+        from ..curve.native import g2_scalar_mul_native
+
+        def g2mul(p, s: Fr):
+            r = g2_scalar_mul_native(p, s.v)
+            return r if r is not None else p * s.v
+
+        z_t2 = (srs.g2_powers[1] - g2mul(srs.g2_powers[0], e2)
+                + g2mul(srs.beta_g2, e1) - g2mul(srs.g2, e0))
 
         from ..curve.pairing import pairing_check
-        # e(L, g2) * e(-R, beta_g2) == 1
-        return pairing_check([(L, srs.g2), (-R, srs.beta_g2)])
+        return pairing_check([(L, srs.g2), (-W[0], z_t2)])

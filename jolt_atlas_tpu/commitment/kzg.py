@@ -68,13 +68,22 @@ class LazyPoints:
 
 
 class KZGSRS:
-    """g1_powers[i] = tau^i * G1; g2 = G2; beta_g2 = tau * G2."""
+    """g1_powers[i] = tau^i * G1; g2 = G2; beta_g2 = tau * G2.
+
+    g2_powers = [tau^2 * G2, tau^3 * G2] supports the Shplonk-style
+    single-witness batch opening (hyperkzg.py open): the verifier
+    assembles [Z_S(tau)]_2 for the cubic vanishing polynomial of the
+    three opening points. Revealing two more G2 powers of tau is the
+    standard extended-power KZG setup (binding under the corresponding
+    q-type assumption). None on legacy serialized SRS files."""
 
     def __init__(self, g1_powers: list[G1], g2: G2, beta_g2: G2,
-                 raw_points: bytes | None = None):
+                 raw_points: bytes | None = None,
+                 g2_powers: list[G2] | None = None):
         self.g1_powers = g1_powers
         self.g2 = g2
         self.beta_g2 = beta_g2
+        self.g2_powers = g2_powers
         self._raw_points = raw_points
         self._prepared = None
         self._prepared_failed = False
@@ -163,7 +172,9 @@ class KZGSRS:
         else:
             powers = [g * s for s in scalars]
         h = g2_generator()
-        return cls(powers, h, h * tau, raw_points=raw)
+        bh = h * tau
+        return cls(powers, h, bh, raw_points=raw,
+                   g2_powers=[bh * tau, bh * (tau * tau % FR_MODULUS)])
 
     def max_degree(self) -> int:
         return len(self.g1_powers) - 1
@@ -176,6 +187,9 @@ class KZGSRS:
             for p in self.g1_powers:
                 out += p.serialize()
         out += self.g2.serialize() + self.beta_g2.serialize()
+        if self.g2_powers is not None:
+            for p in self.g2_powers:
+                out += p.serialize()
         return out
 
     @classmethod
@@ -186,7 +200,12 @@ class KZGSRS:
         off += 64 * n
         g2 = G2.deserialize(data[off:off + 128])
         beta = G2.deserialize(data[off + 128:off + 256])
-        return cls(LazyPoints(raw), g2, beta, raw_points=raw)
+        off += 256
+        g2p = None
+        if len(data) >= off + 256:  # extended-power file (round 4+)
+            g2p = [G2.deserialize(data[off:off + 128]),
+                   G2.deserialize(data[off + 128:off + 256])]
+        return cls(LazyPoints(raw), g2, beta, raw_points=raw, g2_powers=g2p)
 
     def save(self, path: str) -> None:
         """Persist a ceremony/generated SRS (reference hyperkzg/mod.rs:60-100
@@ -205,7 +224,7 @@ class KZGSRS:
         raw = (self._raw_points[: 64 * (max_degree + 1)]
                if self._raw_points is not None else None)
         return KZGSRS(self.g1_powers[: max_degree + 1], self.g2, self.beta_g2,
-                      raw_points=raw)
+                      raw_points=raw, g2_powers=self.g2_powers)
 
 
 def kzg_commit(srs: KZGSRS, coeffs) -> G1:

@@ -82,6 +82,10 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
         lib.bn_pairing_product.restype = None
+        lib.g2_scalar_mul.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p]
+        lib.g2_scalar_mul.restype = None
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -286,3 +290,28 @@ def msm_native(bases: list[G1], scalars, c: int = 0) -> G1 | None:
     inf_buf = ctypes.create_string_buffer(1)
     lib.msm_g1(pts, scs, n, c, out_buf, inf_buf)
     return _decode_point(out_buf, inf_buf)
+
+
+def g2_scalar_mul_native(q, k: int):
+    """k * q for a G2 point via the native engine (None if unavailable).
+    Verifier-side [Z_S(tau)]_2 assembly for the Shplonk batch opening."""
+    from .points import G2
+    from .fq import FQ2
+    lib = _load()
+    if lib is None:
+        return None
+    if q.infinity:
+        return G2.identity()
+    pt = (q.x.a.to_bytes(32, "little") + q.x.b.to_bytes(32, "little")
+          + q.y.a.to_bytes(32, "little") + q.y.b.to_bytes(32, "little"))
+    sc = (int(k) % FR_MODULUS).to_bytes(32, "little")
+    out = ctypes.create_string_buffer(128)
+    inf = ctypes.create_string_buffer(1)
+    lib.g2_scalar_mul(pt, sc, out, inf)
+    if inf.raw[0]:
+        return G2.identity()
+    raw = out.raw
+    return G2(FQ2(int.from_bytes(raw[:32], "little"),
+                  int.from_bytes(raw[32:64], "little")),
+              FQ2(int.from_bytes(raw[64:96], "little"),
+                  int.from_bytes(raw[96:128], "little")))

@@ -34,6 +34,8 @@ def cached_srs(max_vars: int) -> KZGSRS:
             path = os.path.join(base, f"srs_2e{v}.bin")
             if os.path.exists(path):
                 srs = KZGSRS.load(path)
+                if srs.g2_powers is None:
+                    continue  # legacy file without extended G2 powers
                 return srs.trim(1 << max_vars) if v > max_vars else srs
         srs = KZGSRS.setup(1 << max_vars)
         tmp = os.path.join(base, f".srs_2e{max_vars}.tmp.{os.getpid()}")

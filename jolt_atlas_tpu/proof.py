@@ -46,6 +46,7 @@ class ONNXProof:
                          for cp in self.batch_opening_proof.compressed_polys)
             else:
                 n += len(self.batch_opening_proof.serialize())
-            n += 64 * (len(self.joint_opening_proof.com) + 3)
+            n += 64 * (len(self.joint_opening_proof.com)
+                       + len(self.joint_opening_proof.w))
             n += 32 * sum(len(row) for row in self.joint_opening_proof.v)
         return n
