@@ -232,7 +232,12 @@ def _small_table(n: int) -> np.ndarray:
     return _SMALL_TABLE
 
 
-_SCALAR_CACHE: dict[int, np.ndarray] = {}
+_SCALAR_CACHE: dict[int, tuple[np.ndarray, int]] = {}  # v -> (limb row, addr)
+# arrays evicted from the caches survive one eviction generation here: a
+# raw address taken inside a call expression stays valid even if a second
+# cache lookup in the SAME expression triggers an eviction (the next
+# eviction needs 2^16 fresh inserts — impossible within one expression)
+_EVICT_STASH: list = []
 
 
 def _evict_scalar_cache() -> None:
@@ -240,9 +245,9 @@ def _evict_scalar_cache() -> None:
     away every hot entry (round challenges, batching coefficients) ~10
     times per prove once the per-round claim/scalar seeding pushed the
     population past the old 4096 cap."""
-    drop = len(_SCALAR_CACHE) // 2
-    for k in list(_SCALAR_CACHE.keys())[:drop]:
-        del _SCALAR_CACHE[k]
+    global _EVICT_STASH
+    keys = list(_SCALAR_CACHE.keys())[: len(_SCALAR_CACHE) // 2]
+    _EVICT_STASH = [_SCALAR_CACHE.pop(k) for k in keys]
 
 
 def _fr_limbs_cached(x: Fr) -> np.ndarray:
@@ -250,18 +255,64 @@ def _fr_limbs_cached(x: Fr) -> np.ndarray:
     if got is None:
         if len(_SCALAR_CACHE) > (1 << 17):
             _evict_scalar_cache()
-        got = _fr_limbs(x)
-        _SCALAR_CACHE[x.v] = got
-    return got
+        arr = _fr_limbs(x)
+        got = _SCALAR_CACHE[x.v] = (arr, arr.ctypes.data)
+    return got[0]
+
+
+def _fr_addr_cached(x: Fr) -> int:
+    """Raw data address of the cached Montgomery limb row of x — the
+    ~1 us ndarray.ctypes property construction per access made address
+    recomputation a top-5 prover cost (350k accesses per bench prove)."""
+    got = _SCALAR_CACHE.get(x.v)
+    if got is None:
+        if len(_SCALAR_CACHE) > (1 << 17):
+            _evict_scalar_cache()
+        arr = _fr_limbs(x)
+        got = _SCALAR_CACHE[x.v] = (arr, arr.ctypes.data)
+    return got[1]
+
+
+_ADDR_MEMO: dict[int, tuple] = {}  # id(arr) -> (arr, addr); arr kept alive
+
+
+def _np_addr(a: np.ndarray) -> int:
+    """Memoized data address of a long-lived C-contiguous array (eq weight
+    tables, encoding buffers). The memo holds a reference, so the id can
+    never be reused while the entry lives."""
+    global _EVICT_STASH
+    e = _ADDR_MEMO.get(id(a))
+    if e is None:
+        if not a.flags.c_contiguous:
+            a = np.ascontiguousarray(a)
+        if len(_ADDR_MEMO) > 8192:
+            _EVICT_STASH = list(_ADDR_MEMO.values())
+            _ADDR_MEMO.clear()
+        e = (a, a.ctypes.data)
+        _ADDR_MEMO[id(a)] = e
+    return e[1]
 
 
 class FrArray:
     """1-D vector of Fr elements in Montgomery limb form, shape (n, 4)."""
 
-    __slots__ = ("d",)
+    __slots__ = ("d", "_a")
 
     def __init__(self, d: np.ndarray):
         self.d = d
+        self._a = None
+
+    def addr(self) -> int:
+        """Cached raw data address (normalizing self.d to C-contiguous
+        first). `d` is only ever assigned in __init__, so the address is
+        stable for the array's lifetime."""
+        a = self._a
+        if a is None:
+            d = self.d
+            if not d.flags.c_contiguous:
+                d = self.d = np.ascontiguousarray(d)
+            a = self._a = d.ctypes.data
+        return a
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -336,9 +387,8 @@ class FrArray:
         return can
 
     def item(self, i: int) -> Fr:
-        d = _c(self.d[i: i + 1])
         can = np.empty((1, 4), dtype=np.uint64)
-        _load().frv_decode(d.ctypes.data, can.ctypes.data, 1)
+        _load().frv_decode(self.addr() + 32 * i, can.ctypes.data, 1)
         return Fr(int.from_bytes(can.tobytes(), "little"))
 
     # -- container protocol ------------------------------------------------
@@ -370,10 +420,10 @@ class FrArray:
 
     # -- arithmetic --------------------------------------------------------
     def _bin(self, other, op) -> "FrArray":
-        a, b = _c(self.d), _c(other.d)
-        assert len(a) == len(b), (len(a), len(b))
-        out = np.empty_like(a)
-        op(a.ctypes.data, b.ctypes.data, out.ctypes.data, len(a))
+        n = len(self.d)
+        assert n == len(other.d), (n, len(other.d))
+        out = np.empty((n, 4), dtype=np.uint64)
+        op(self.addr(), other.addr(), out.ctypes.data, n)
         return FrArray(out)
 
     def add(self, other) -> "FrArray":
@@ -386,20 +436,17 @@ class FrArray:
         return self._bin(other, _load().frv_mul)
 
     def scale(self, s: Fr) -> "FrArray":
-        a = _c(self.d)
-        out = np.empty_like(a)
-        _load().frv_scale(a.ctypes.data, _fr_limbs_cached(s).ctypes.data,
-                          out.ctypes.data, len(a))
+        n = len(self.d)
+        out = np.empty((n, 4), dtype=np.uint64)
+        _load().frv_scale(self.addr(), _fr_addr_cached(s),
+                          out.ctypes.data, n)
         return FrArray(out)
 
     def axpy_inplace(self, s: Fr, b: "FrArray", n: int | None = None) -> None:
         """self[:n] += s * b[:n] in one fused pass (RLC accumulation)."""
         count = len(b) if n is None else n
-        a = self.d[:count]
-        assert a.flags["C_CONTIGUOUS"]
-        ap = a.ctypes.data
-        _load().frv_axpy(ap, _fr_limbs_cached(s).ctypes.data,
-                         _c(b.d[:count]).ctypes.data, ap, count)
+        ap = self.addr()
+        _load().frv_axpy(ap, _fr_addr_cached(s), b.addr(), ap, count)
 
     def sum(self) -> Fr:
         a = _c(self.d)
@@ -423,7 +470,7 @@ class FrArray:
             lo, hi = _c(self.d[:lo_hi_split]), _c(self.d[lo_hi_split:])
         out = np.empty_like(lo)
         _load().frv_bind(lo.ctypes.data, hi.ctypes.data,
-                         _fr_limbs_cached(r).ctypes.data,
+                         _fr_addr_cached(r),
                          out.ctypes.data, len(lo))
         return FrArray(out)
 
@@ -536,7 +583,7 @@ class FusedInstance:
         if self._rows_shared:
             half = self.n // 2
             lib = _load()
-            rl = _fr_limbs_cached(r).ctypes.data
+            rl = _fr_addr_cached(r)
             outs = []
             for rw in self._rows:
                 o = np.empty((half, 4), dtype=np.uint64)
@@ -551,7 +598,7 @@ class FusedInstance:
             self.n = half
             return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
-                                _fr_limbs_cached(r).ctypes.data)
+                                _fr_addr_cached(r))
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
@@ -585,6 +632,7 @@ def _r2_limbs() -> np.ndarray:
 
 
 _DUMMY_U64 = np.zeros((1, 4), dtype=np.uint64)
+_DUMMY_ADDR = _DUMMY_U64.ctypes.data
 
 
 class GruenInstance:
@@ -639,6 +687,7 @@ class GruenInstance:
                 rows[i] if ir is None else FrArray.from_i64(ir)
                 for i, ir in enumerate(int_rows)])
         self._field_enc = None
+        self._enc_a = None
         self._pending_bind = None  # lazily-fused field bind (see bind())
         self._preset_q = None      # fleet-precomputed round evals
 
@@ -703,6 +752,18 @@ class GruenInstance:
             self._field_enc = _encode_terms_cse(self.terms, self.P, self.MAXA)
         return self._field_enc
 
+    def _enc_addrs(self):
+        """(coeffs_addr, offsets_addr, fidx_addr, T, aux_offs_addr,
+        aux_fidx_addr, A) — raw addresses cached once per instance."""
+        e = self._enc_a
+        if e is None:
+            coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
+                self._field_encoding()
+            e = self._enc_a = (coeffs.ctypes.data, offsets.ctypes.data,
+                               fidx.ctypes.data, T, aux_offs.ctypes.data,
+                               aux_fidx.ctypes.data, A)
+        return e
+
     def _promote(self) -> None:
         """Integer rows -> Montgomery rows without binding (mixed fallback)."""
         self._set_field_rows([FrArray.from_i64(rw) for rw in self._irows])
@@ -731,9 +792,9 @@ class GruenInstance:
             self._preset_q = None
             return r
         assert nevals <= self.MAXE
-        whi_a = _c(whi) if whi is not None else _DUMMY_U64
-        whi_n = len(whi_a) if whi is not None else 1
-        wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
+        whi_addr = _np_addr(whi) if whi is not None else _DUMMY_ADDR
+        whi_n = len(whi) if whi is not None else 1
+        wlo_addr = _np_addr(wlo) if wlo is not None else _DUMMY_ADDR
         out = np.zeros((nevals, 4), dtype=np.uint64)
         if self._pending_bind is not None:
             # fused bind + eval: one streaming pass binds the previous
@@ -742,21 +803,22 @@ class GruenInstance:
             r = self._pending_bind
             self._pending_bind = None
             half = self.n // 2
-            coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
-                self._field_encoding()
-            outs = [np.empty((half, 4), dtype=np.uint64)
-                    for _ in range(self.P)]
-            optrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
-                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
-                  for o in outs])
+            ca, oa, fa, T, aoa, afa, A = self._enc_addrs()
+            buf = np.empty((self.P, half, 4), dtype=np.uint64)
+            base = buf.ctypes.data
+            stride = half * 32
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            optrs = (u64p * self.P)()
+            pv = ctypes.cast(optrs, ctypes.POINTER(ctypes.c_uint64))
+            for p in range(self.P):
+                pv[p] = base + p * stride
             _load().frv_gruen_round_bind_p(
                 self._ptrs, self.P, self.n,
-                _fr_limbs_cached(r).ctypes.data, optrs, nevals,
-                coeffs.ctypes.data, offsets.ctypes.data, fidx.ctypes.data,
-                T, aux_offs.ctypes.data, aux_fidx.ctypes.data, A,
-                whi_a.ctypes.data, whi_n, whi_shift, wlo_a.ctypes.data,
+                _fr_addr_cached(r), optrs, nevals,
+                ca, oa, fa, T, aoa, afa, A,
+                whi_addr, whi_n, whi_shift, wlo_addr,
                 log_wlo, out.ctypes.data)
-            self._rows = outs
+            self._rows = list(buf)
             self._ptrs = optrs
             self._rows_shared = False
             self.n = half
@@ -770,18 +832,14 @@ class GruenInstance:
                 fn(self._iptrs, self.P, self.n, nevals,
                    self._icoeffs.ctypes.data, self._ioffsets.ctypes.data,
                    self._ifidx.ctypes.data, len(self.terms),
-                   whi_a.ctypes.data, whi_n, whi_shift, wlo_a.ctypes.data,
+                   whi_addr, whi_n, whi_shift, wlo_addr,
                    log_wlo, out.ctypes.data)
                 return FrArray(out)
-        coeffs, offsets, fidx, T, aux_offs, aux_fidx, A = \
-            self._field_encoding()
+        ca, oa, fa, T, aoa, afa, A = self._enc_addrs()
         _load().frv_gruen_round_p(self._ptrs, self.P, self.n, nevals,
-                                  coeffs.ctypes.data, offsets.ctypes.data,
-                                  fidx.ctypes.data, T,
-                                  aux_offs.ctypes.data,
-                                  aux_fidx.ctypes.data, A,
-                                  whi_a.ctypes.data, whi_n, whi_shift,
-                                  wlo_a.ctypes.data, log_wlo,
+                                  ca, oa, fa, T, aoa, afa, A,
+                                  whi_addr, whi_n, whi_shift,
+                                  wlo_addr, log_wlo,
                                   out.ctypes.data)
         return FrArray(out)
 
@@ -803,7 +861,7 @@ class GruenInstance:
                 *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
                   for o in outs])
             _load().frv_bind_rows_i64(self._iptrs, self.P, self.n,
-                                      _fr_limbs_cached(r).ctypes.data, optrs)
+                                      _fr_addr_cached(r), optrs)
             self._rows = outs
             self._ptrs = optrs
             self._irows = None
@@ -816,7 +874,7 @@ class GruenInstance:
             # of mutating the caller's arrays
             half = self.n // 2
             lib = _load()
-            rl = _fr_limbs_cached(r).ctypes.data
+            rl = _fr_addr_cached(r)
             outs = []
             for rw in self._rows:
                 o = np.empty((half, 4), dtype=np.uint64)
@@ -831,7 +889,7 @@ class GruenInstance:
             self.n = half
             return
         _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
-                                _fr_limbs_cached(r).ctypes.data)
+                                _fr_addr_cached(r))
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
@@ -1004,9 +1062,9 @@ def unipoly_hint_interp(evals: "FrArray", hint: Fr,
     nev = len(evals)
     assert len(vinv_limbs) == (nev + 1) * (nev + 1)
     out = np.empty((nev + 1, 4), dtype=np.uint64)
-    _load().frv_unipoly_hint_interp(_c(evals.d).ctypes.data, nev,
-                                    _fr_limbs_cached(hint).ctypes.data,
-                                    _c(vinv_limbs).ctypes.data,
+    _load().frv_unipoly_hint_interp(evals.addr(), nev,
+                                    _fr_addr_cached(hint),
+                                    _np_addr(vinv_limbs),
                                     out.ctypes.data)
     return FrArray(out)
 
@@ -1021,14 +1079,12 @@ def gruen_assemble(qev: "FrArray", claim: Fr, es: Fr, es_inv: Fr, l0: Fr,
     # bind every cached limb row to a local BEFORE taking .ctypes.data:
     # a later _fr_limbs_cached lookup may evict the cache (its only
     # reference), freeing rows whose raw pointers were already taken
-    cl, esl, esil = (_fr_limbs_cached(claim), _fr_limbs_cached(es),
-                     _fr_limbs_cached(es_inv))
-    l0l, l1l, l1il = (_fr_limbs_cached(l0), _fr_limbs_cached(l1),
-                      _fr_limbs_cached(l1_inv))
+    # the eviction stash (see _evict_scalar_cache) keeps every row alive
+    # through this call even if a lookup below triggers an eviction
     _load().frv_gruen_assemble(
-        _c(qev.d).ctypes.data, nq, cl.ctypes.data, esl.ctypes.data,
-        esil.ctypes.data, l0l.ctypes.data, l1l.ctypes.data,
-        l1il.ctypes.data, _c(vinv_limbs).ctypes.data, out.ctypes.data)
+        qev.addr(), nq, _fr_addr_cached(claim), _fr_addr_cached(es),
+        _fr_addr_cached(es_inv), _fr_addr_cached(l0), _fr_addr_cached(l1),
+        _fr_addr_cached(l1_inv), _np_addr(vinv_limbs), out.ctypes.data)
     return FrArray(out)
 
 
@@ -1045,15 +1101,17 @@ class RoundBatch:
     challenge-evaluation (frv_horner_multi) calls — two C calls per round
     total, regardless of instance count."""
 
-    __slots__ = ("arrs", "K", "_ptrs", "_lens")
+    __slots__ = ("arrs", "K", "_ptrs", "_lens", "_pa", "_la")
 
     def __init__(self, arrs: list["FrArray"]):
         self.arrs = arrs  # keeps every message's limb buffer alive
         self.K = len(arrs)
-        self._ptrs = np.fromiter((a.d.ctypes.data for a in arrs),
+        self._ptrs = np.fromiter((a.addr() for a in arrs),
                                  dtype=np.uintp, count=self.K)
         self._lens = np.fromiter((len(a.d) for a in arrs),
                                  dtype=np.int64, count=self.K)
+        self._pa = self._ptrs.ctypes.data
+        self._la = self._lens.ctypes.data
 
     def maxlen(self) -> int:
         return int(self._lens.max()) if self.K else 0
@@ -1064,9 +1122,8 @@ class RoundBatch:
         # (cache eviction frees rows whose pointers were already taken)
         rows = [_fr_limbs_cached(s) for s in scalars]
         sl = np.concatenate(rows) if rows else _DUMMY_U64
-        _load().frv_axpy_multi(acc.d.ctypes.data, self._ptrs.ctypes.data,
-                               self._lens.ctypes.data, sl.ctypes.data,
-                               self.K)
+        _load().frv_axpy_multi(acc.addr(), self._pa, self._la,
+                               sl.ctypes.data, self.K)
 
     def horner(self, r: Fr) -> list[Fr]:
         """[p_i(r)] in one C call; results are batch-decoded and their
@@ -1074,9 +1131,8 @@ class RoundBatch:
         returns as the hint of the next round's message)."""
         K = self.K
         out = np.empty((K, 4), dtype=np.uint64)
-        _load().frv_horner_multi(self._ptrs.ctypes.data,
-                                 self._lens.ctypes.data, K,
-                                 _fr_limbs_cached(r).ctypes.data,
+        _load().frv_horner_multi(self._pa, self._la, K,
+                                 _fr_addr_cached(r),
                                  out.ctypes.data)
         can = np.empty_like(out)
         _load().frv_decode(out.ctypes.data, can.ctypes.data, K)
@@ -1086,7 +1142,8 @@ class RoundBatch:
         for i in range(K):
             f = Fr(int.from_bytes(b[32 * i: 32 * i + 32], "little"))
             if f.v not in cache:
-                cache[f.v] = np.ascontiguousarray(out[i: i + 1])
+                row = np.ascontiguousarray(out[i: i + 1])
+                cache[f.v] = (row, row.ctypes.data)
             res.append(f)
         return res
 
@@ -1098,12 +1155,13 @@ def mul_seed_cache(a: Fr, b: Fr) -> Fr:
     product is next used as a kernel argument)."""
     prod = a * b
     if prod.v not in _SCALAR_CACHE:
-        ra, rb = _fr_limbs_cached(a), _fr_limbs_cached(b)
+        pa, pb = _fr_addr_cached(a), _fr_addr_cached(b)
         out = np.empty((1, 4), dtype=np.uint64)
-        _load().frv_mul(ra.ctypes.data, rb.ctypes.data, out.ctypes.data, 1)
+        oa = out.ctypes.data
+        _load().frv_mul(pa, pb, oa, 1)
         if len(_SCALAR_CACHE) > (1 << 17):
             _evict_scalar_cache()
-        _SCALAR_CACHE[prod.v] = out
+        _SCALAR_CACHE[prod.v] = (out, oa)
     return prod
 
 
@@ -1163,7 +1221,7 @@ def gruen1_fleet(cands, c_prev) -> None:
     out = np.empty((K, 4), dtype=np.uint64)
     _load().frv_gruen1_fleet(rows_p, outs_p, ns.ctypes.data,
                              binds.ctypes.data, K,
-                             _fr_limbs_cached(c_prev).ctypes.data,
+                             _fr_addr_cached(c_prev),
                              whis_p, whi_ns.ctypes.data, shifts.ctypes.data,
                              wlos_p, logls.ctypes.data, out.ctypes.data)
     for k, (g, _) in enumerate(cands):

@@ -19,6 +19,10 @@ Conversion is lazy and cached; protocol bytes are identical either way.
 
 from __future__ import annotations
 
+import numpy as np
+
+from ..field import frvec
+from ..field.frvec import FrArray
 from ..field.scalar import Fr, batch_inverse
 
 
@@ -57,7 +61,6 @@ def vinv_limbs(n: int):
     interpolation kernels."""
     got = _VINV_LIMBS_CACHE.get(n)
     if got is None:
-        from ..field.frvec import FrArray
         flat = [x for row in _vinv(n) for x in row]
         got = _VINV_LIMBS_CACHE[n] = FrArray.from_fr_list(flat).d
     return got
@@ -141,9 +144,6 @@ class UniPoly:
         constant round polys (claim * 2^k) are seeded there by _mul_pow2,
         so the common case is a cache-hit concat, not an encode pass."""
         if self._arr is None:
-            import numpy as np
-            from ..field import frvec
-            from ..field.frvec import FrArray
             c = self._coeffs
             if len(c) <= 4:
                 rows = [frvec._fr_limbs_cached(x) for x in c]
@@ -159,7 +159,6 @@ class UniPoly:
         """Interpolate from evaluations at 0, 1, ..., d. `evals` may be a
         list of Fr or an FrArray (native interpolation)."""
         if not isinstance(evals, list):
-            from ..field import frvec
             if frvec.available():
                 n = len(evals)
                 arr = frvec.matvec_small(vinv_limbs(n), evals)
@@ -171,7 +170,6 @@ class UniPoly:
     def from_evals_and_hint(cls, hint: Fr, evals) -> "UniPoly":
         """evals = [P(0), P(2), P(3), ..., P(d)]; P(1) = hint - P(0)."""
         if not isinstance(evals, list):
-            from ..field import frvec
             if frvec.available():
                 arr = frvec.unipoly_hint_interp(evals, hint,
                                                 vinv_limbs(len(evals) + 1))
@@ -185,7 +183,6 @@ class UniPoly:
 
     def evaluate(self, x: Fr) -> Fr:
         if self._coeffs is None:
-            from ..field import frvec
             return frvec.horner_fr(self._arr, x)
         acc = Fr.zero()
         for c in reversed(self._coeffs):
@@ -194,7 +191,6 @@ class UniPoly:
 
     def __add__(self, other: "UniPoly") -> "UniPoly":
         if self._coeffs is None or other._coeffs is None:
-            from ..field.frvec import FrArray
             a, b = self.arr(), other.arr()
             if len(a) < len(b):
                 a, b = b, a
@@ -213,8 +209,6 @@ class UniPoly:
 
     def compress(self) -> "CompressedUniPoly":
         if self._coeffs is None and self.ncoeffs() >= 2:
-            import numpy as np
-            from ..field.frvec import FrArray
             d = self._arr.d
             return CompressedUniPoly(
                 arr=FrArray(np.ascontiguousarray(
@@ -263,8 +257,6 @@ class CompressedUniPoly:
             # limb path (deserialized proofs): full poly =
             # c0 + lin*X + X^2 * (c2 + c3 X + ...) with
             # lin = hint - 2 c0 - sum(c2..)
-            from ..field import frvec
-            from ..field.frvec import FrArray
             a = self._arr
             c0 = a.item(0)
             lin = hint - c0 - c0
@@ -305,13 +297,11 @@ class CompressedUniPoly:
         offset += 8
         blob = data[offset:offset + 32 * n]
         offset += 32 * n
-        from ..field import frvec
         if n and frvec.available():
             # straight to Montgomery limb rows (one C call) — the
             # verifier's re-absorb and eval_from_hint run limb-native.
             # Out-of-range bytes reduce mod r exactly like
             # Fr.from_bytes_le, so transcript bytes are unchanged.
-            import numpy as np
             raw = np.frombuffer(blob, dtype=np.uint64).reshape(n, 4).copy()
             enc = np.empty_like(raw)
             frvec._load().frv_encode(raw, enc, n)

@@ -20,8 +20,12 @@ from __future__ import annotations
 
 from abc import ABC, abstractmethod
 
+from ..field import frvec, vec
 from ..field.scalar import Fr
-from ..poly.unipoly import CompressedUniPoly, UniPoly
+from ..poly.mlpoly import BindingOrder
+from ..poly.spliteq import inv_cached
+from ..poly.unipoly import (CompressedUniPoly, UniPoly,
+                            interpolate_at_nodes, vinv_limbs)
 
 
 class SumcheckError(Exception):
@@ -77,7 +81,6 @@ class RowsInstance:
     def setup_rows(self, mlpolys: list, terms, degree: int,
                    eq_r: list[Fr] | None = None, eq_pre: int = 0,
                    eq_post: int = 0) -> None:
-        from ..field import vec
         self._rows_deg = degree
         self._rows_fused = None
         self._gruen = None
@@ -100,13 +103,12 @@ class RowsInstance:
                     self._rows_terms = terms
                     self._mlrows = mlpolys
                     return
-            from ..field.frvec import GruenInstance
-            if (len(mlpolys) <= GruenInstance.MAXP
-                    and max(1, degree) <= GruenInstance.MAXE):
+            if (len(mlpolys) <= frvec.GruenInstance.MAXP
+                    and max(1, degree) <= frvec.GruenInstance.MAXE):
                 from ..poly.spliteq import SplitEq
                 rows = [p.ints if p.is_small() else p.to_field()
                         for p in mlpolys]
-                self._gruen = GruenInstance(rows, terms, degree)
+                self._gruen = frvec.GruenInstance(rows, terms, degree)
                 self._se = SplitEq(eq_r, pre_vars=eq_pre, post_vars=eq_post)
                 self._rows_terms = terms
                 self._mlrows = mlpolys
@@ -127,16 +129,13 @@ class RowsInstance:
         self._rows_terms = terms
         self._mlrows = mlpolys
         if native:
-            from ..field.frvec import FrArray, FusedInstance
             rows = [p.to_field() for p in mlpolys]
-            if (len(rows) <= FusedInstance.MAXP
-                    and max(1, degree) <= FusedInstance.MAXE
-                    and all(isinstance(x, FrArray) for x in rows)):
-                self._rows_fused = FusedInstance(rows, terms)
+            if (len(rows) <= frvec.FusedInstance.MAXP
+                    and max(1, degree) <= frvec.FusedInstance.MAXE
+                    and all(isinstance(x, frvec.FrArray) for x in rows)):
+                self._rows_fused = frvec.FusedInstance(rows, terms)
 
     def rows_message(self, previous_claim: Fr) -> UniPoly:
-        from ..field import vec
-        from ..poly.mlpoly import BindingOrder
         d = self._rows_deg
         if self._gruen is not None:
             return self._gruen_message(previous_claim)
@@ -164,7 +163,6 @@ class RowsInstance:
 
     def _gruen_message(self, previous_claim: Fr) -> UniPoly:
         """Assemble s(X) from the weighted product evals (see SplitEq)."""
-        from ..poly.spliteq import inv_cached
         se = self._se
         rnd = self._rows_round
         d = self._rows_deg
@@ -199,7 +197,6 @@ class RowsInstance:
     def _gruen_assemble_nohint(self, qev, dq: int) -> UniPoly:
         """s(X) = es * l(X) * q(X) with q interpolated from evals on the
         skip-1 grid {0, 2, 3, ..., dq+1} (degenerate-line fallback)."""
-        from ..poly.unipoly import UniPoly, interpolate_at_nodes
         se = self._se
         es = se.scalar
         l0, l1 = se.l_linear(self._rows_round)
@@ -222,14 +219,11 @@ class RowsInstance:
         compute qev by any engine: dense rows, device fleet, or the sparse
         one-hot schedule in onehot.BooleanityProver). Limb-array qev takes
         the one-call native path (csrc frv_gruen_assemble)."""
-        from ..poly.spliteq import inv_cached
         se = self._se
         es = se.scalar
         one = Fr.one()
         l0, l1 = se.l_linear(self._rows_round)
         if not isinstance(qev, list):
-            from ..field import frvec
-            from ..poly.unipoly import vinv_limbs
             arr = frvec.gruen_assemble(
                 qev, previous_claim, es, se.scalar_inv, l0, l1,
                 inv_cached(l1), vinv_limbs(len(qev) + 1))
@@ -249,7 +243,6 @@ class RowsInstance:
         return UniPoly(s)
 
     def rows_bind(self, r: Fr) -> None:
-        from ..poly.mlpoly import BindingOrder
         if self._gruen is not None:
             self._gruen.bind(r)
             self._se.note_challenge(r, self._rows_round)
@@ -298,7 +291,6 @@ class SumcheckInstanceProof:
             raise SumcheckError(
                 f"expected {num_rounds} round polys, got {len(self.compressed_polys)}"
             )
-        from ..field import frvec
         r: list[Fr] = []
         if (frvec.available()
                 and all(p._coeffs is None for p in self.compressed_polys)):
@@ -322,7 +314,7 @@ class SumcheckInstanceProof:
                 arr = poly._arr
                 lib.frv_eval_from_hint(
                     arr.d.ctypes.data, len(arr), e_l.ctypes.data,
-                    frvec._fr_limbs_cached(r_i).ctypes.data,
+                    frvec._fr_addr_cached(r_i),
                     buf.ctypes.data)
                 e_l, buf = buf, e_l
             return frvec.FrArray(e_l).item(0), r
@@ -361,17 +353,15 @@ def _gruen_fleet(instances, remaining: int) -> None:
     shape (the ~150 opening-reduction groups each previously launched
     their own bind+eval kernel per round). Byte-identical messages: the
     kernel replicates the P==1 fast-path block regrouping exactly."""
-    from ..field import frvec
     if not frvec.available():
         return
-    from ..field.frvec import GruenInstance
     cands = []
     c_prev = None
     for inst in instances:
         if remaining > inst.num_rounds():
             continue
         g = getattr(inst, "_gruen", None)
-        if (not isinstance(g, GruenInstance) or g.P != 1 or g._int_mode
+        if (not isinstance(g, frvec.GruenInstance) or g.P != 1 or g._int_mode
                 or g._preset_q is not None
                 or getattr(inst, "_rows_deg", 0) != 2):
             continue
@@ -404,15 +394,13 @@ class _RoundCtx:
     __slots__ = ("polys", "rb")
 
     def __init__(self, polys: list[UniPoly]):
-        from ..field import frvec
         self.polys = polys
         self.rb = (frvec.RoundBatch([p.arr() for p in polys])
                    if frvec.available() else None)
 
     def batched(self, coeffs: list[Fr]) -> UniPoly:
         if self.rb is not None:
-            from ..field.frvec import FrArray
-            acc = FrArray.zeros(self.rb.maxlen())
+            acc = frvec.FrArray.zeros(self.rb.maxlen())
             self.rb.accumulate(acc, coeffs)
             return UniPoly(arr=acc)
         batched = UniPoly([])
@@ -435,7 +423,6 @@ def _mul_pow2(x: Fr, k: int) -> Fr:
     f = _POW2_FR.get(k)
     if f is None:
         f = _POW2_FR[k] = Fr(1 << k)
-    from ..field import frvec
     if frvec.available():
         # derive the product's limb row from the factors' cached rows (it
         # is used as a kernel argument in the same round)
