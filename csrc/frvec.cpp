@@ -1378,6 +1378,61 @@ void frv_gruen1_fleet(const u64* const* rows, u64* const* out_rows,
   }
 }
 
+// Fleet variant of the two-row product instances (chunk-table read checks:
+// rows = [table, G], term = table*G, degree 2 over tiny 16-slot domains).
+// A bench prove runs ~2,400 such instances x 4 rounds; per-instance kernel
+// launches were pure dispatch overhead. One call per batched round: per
+// instance m, optionally bind the SHARED previous challenge (binds[m])
+// writing the two bound rows into orows[2m]/orows[2m+1] (length ns[m]/2),
+// then accumulate the degree-2 ladder [q(0), q(2)] of the post-bind round.
+// Field arithmetic is exact, so the evals match the per-instance kernel
+// (frv_terms_round_p) bit for bit.
+void frv_pair_fleet(const u64* const* rows, u64* const* orows,
+                    const i64* ns, const i64* binds, i64 M,
+                    const u64* c_prev, u64* out){
+  Fr4 cc; memcpy(cc.v, c_prev, 32);
+  #pragma omp parallel for schedule(dynamic, 8) if(M>32)
+  for(i64 m=0;m<M;m++){
+    const u64 *ra=rows[2*m], *rb=rows[2*m+1];
+    const i64 n=ns[m];
+    const bool bind = binds[m] != 0;
+    const i64 nb=n/2, half = bind ? n/4 : n/2;
+    u64 *oa=orows[2*m], *ob=orows[2*m+1];
+    Fr4 q0{{0,0,0,0}}, q2{{0,0,0,0}};
+    for(i64 j=0;j<half;j++){
+      Fr4 loA,hiA,loB,hiB;
+      if(bind){
+        Fr4 x,y,d;
+        memcpy(x.v,ra+j*4,32); memcpy(y.v,ra+(j+nb)*4,32);
+        fr_sub(d,y,x); fr_mul(d,d,cc); fr_add(loA,x,d);
+        memcpy(oa+j*4,loA.v,32);
+        memcpy(x.v,ra+(j+half)*4,32); memcpy(y.v,ra+(j+half+nb)*4,32);
+        fr_sub(d,y,x); fr_mul(d,d,cc); fr_add(hiA,x,d);
+        memcpy(oa+(j+half)*4,hiA.v,32);
+        memcpy(x.v,rb+j*4,32); memcpy(y.v,rb+(j+nb)*4,32);
+        fr_sub(d,y,x); fr_mul(d,d,cc); fr_add(loB,x,d);
+        memcpy(ob+j*4,loB.v,32);
+        memcpy(x.v,rb+(j+half)*4,32); memcpy(y.v,rb+(j+half+nb)*4,32);
+        fr_sub(d,y,x); fr_mul(d,d,cc); fr_add(hiB,x,d);
+        memcpy(ob+(j+half)*4,hiB.v,32);
+      } else {
+        memcpy(loA.v,ra+j*4,32); memcpy(hiA.v,ra+(j+half)*4,32);
+        memcpy(loB.v,rb+j*4,32); memcpy(hiB.v,rb+(j+half)*4,32);
+      }
+      if(!(fr_is_zero(loA) || fr_is_zero(loB))){
+        Fr4 p0; fr_mul(p0, loA, loB); fr_add(q0,q0,p0);
+      }
+      Fr4 dA; fr_sub(dA,hiA,loA); Fr4 e2A; fr_add(e2A,hiA,dA);
+      Fr4 dB; fr_sub(dB,hiB,loB); Fr4 e2B; fr_add(e2B,hiB,dB);
+      if(!(fr_is_zero(e2A) || fr_is_zero(e2B))){
+        Fr4 p2; fr_mul(p2,e2A,e2B); fr_add(q2,q2,p2);
+      }
+    }
+    memcpy(out+m*8, q0.v, 32);
+    memcpy(out+m*8+4, q2.v, 32);
+  }
+}
+
 // Single-limb Montgomery product: out = a * b / 2^256 mod r. To multiply a
 // Montgomery-form value w (= w_canon * R) by a plain u64 AND keep Montgomery
 // form, first scale once: W2 = fr_mul(w, R2) = w_canon * R^2; then

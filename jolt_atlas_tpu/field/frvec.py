@@ -170,6 +170,7 @@ def _load():
             ("frv_eval_from_hint", [vp, ctypes.c_int64, vp, vp, vp]),
             ("frv_gruen1_fleet", [pp, pp, vp, vp, ctypes.c_int64, vp,
                                   pp, vp, vp, pp, vp, vp]),
+            ("frv_pair_fleet", [vp, vp, vp, vp, ctypes.c_int64, vp, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_horner_multi", [vp, vp, ctypes.c_int64, vp, vp]),
             ("frv_unipoly_hint_interp", [vp, ctypes.c_int64, vp, vp, vp]),
@@ -559,18 +560,48 @@ class FusedInstance:
         # zero-copy rows; the first bind writes into fresh half-size buffers
         # (copy-on-first-bind), so callers' arrays are never mutated.
         self._rows = [_c(rw.d) for rw in rows]
-        self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
-            *[rw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
-              for rw in self._rows])
+        self._addrs = [rw.ctypes.data for rw in self._rows]
+        self._ptrs = None  # built lazily from _addrs (see ptrs())
         self._rows_shared = True
         (self.coeffs, self.offsets, self.fidx, self.T, self.aux_offsets,
          self.aux_fidx, self.A) = _encode_terms_cse(terms, self.P, self.MAXA)
+        self._pending_bind = None  # shared-challenge bind fused by the fleet
+        self._preset_q = None      # fleet-precomputed [q(0), q(2)]
+        # chunk-table read-check shape: two rows, one coefficient-1 product
+        # term — eligible for the per-round frv_pair_fleet batching
+        self._pair1 = (self.P == 2 and self.T == 1 and self.A == 0
+                       and int(self.offsets[1] - self.offsets[0]) == 2
+                       and int(self.fidx[0]) == 0 and int(self.fidx[1]) == 1
+                       and bool((self.coeffs[0] == _r1_limbs()[0]).all()))
+
+    def ptrs(self):
+        if self._ptrs is None:
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            p = (u64p * self.P)()
+            pv = ctypes.cast(p, ctypes.POINTER(ctypes.c_uint64))
+            for i, a in enumerate(self._addrs):
+                pv[i] = a
+            self._ptrs = p
+        return self._ptrs
+
+    def _flush_pending(self) -> None:
+        r = self._pending_bind
+        if r is not None:
+            self._pending_bind = None
+            self._bind_now(r)
 
     def round_points(self, degree: int) -> list[Fr]:
+        if self._preset_q is not None:
+            # fleet-precomputed ladder (sumcheck._pair_fleet): the pending
+            # bind was already applied by the fleet kernel
+            r = self._preset_q
+            self._preset_q = None
+            return r
+        self._flush_pending()
         nevals = max(1, degree)
         assert nevals <= self.MAXE
         out = np.zeros((nevals, 4), dtype=np.uint64)
-        _load().frv_terms_round_p(self._ptrs, self.P, self.n, nevals,
+        _load().frv_terms_round_p(self.ptrs(), self.P, self.n, nevals,
                                   self.coeffs.ctypes.data,
                                   self.offsets.ctypes.data,
                                   self.fidx.ctypes.data,
@@ -580,32 +611,43 @@ class FusedInstance:
         return FrArray(out)
 
     def bind(self, r: Fr) -> None:
+        if self._pair1 and self._pending_bind is None and self.n >= 4:
+            # defer: the fleet (or the next round_points flush) applies it
+            self._pending_bind = r
+            return
+        self._flush_pending()
+        self._bind_now(r)
+
+    def _bind_now(self, r: Fr) -> None:
         if self._rows_shared:
             half = self.n // 2
             lib = _load()
             rl = _fr_addr_cached(r)
             outs = []
-            for rw in self._rows:
+            addrs = []
+            for a in self._addrs:
                 o = np.empty((half, 4), dtype=np.uint64)
-                d = rw.ctypes.data
-                lib.frv_bind(d, d + half * 32, rl, o.ctypes.data, half)
+                oa = o.ctypes.data
+                lib.frv_bind(a, a + half * 32, rl, oa, half)
                 outs.append(o)
+                addrs.append(oa)
             self._rows = outs
-            self._ptrs = (ctypes.POINTER(ctypes.c_uint64) * self.P)(
-                *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
-                  for o in outs])
+            self._addrs = addrs
+            self._ptrs = None
             self._rows_shared = False
             self.n = half
             return
-        _load().frv_bind_rows_p(self._ptrs, self.P, self.n,
+        _load().frv_bind_rows_p(self.ptrs(), self.P, self.n,
                                 _fr_addr_cached(r))
         self.n //= 2
 
     def row_value(self, p: int) -> Fr:
+        self._flush_pending()
         assert self.n == 1
         return FrArray(self._rows[p][:1]).item(0)
 
     def row_array(self, p: int) -> FrArray:
+        self._flush_pending()
         return FrArray(self._rows[p][: self.n].copy())
 
 
@@ -1233,6 +1275,53 @@ def gruen1_fleet(cands, c_prev) -> None:
             g._rows_shared = False
             g.n //= 2
         g._preset_q = FrArray(np.ascontiguousarray(out[k:k + 1]))
+
+
+def pair_fleet(cands, c_prev: Fr) -> None:
+    """One C call (frv_pair_fleet) for ALL two-row coefficient-1 product
+    instances of a batched-sumcheck round (the per-node chunk-table read
+    checks: ~2,400 tiny 4-round instances per bench prove). Binds the
+    SHARED previous challenge where pending and presets each instance's
+    [q(0), q(2)] ladder for its next round_points call."""
+    M = len(cands)
+    rows_p = np.empty(2 * M, dtype=np.uintp)
+    outs_p = np.empty(2 * M, dtype=np.uintp)
+    ns = np.empty(M, dtype=np.int64)
+    binds = np.empty(M, dtype=np.int64)
+    newbufs: list = []
+    for k, f in enumerate(cands):
+        a = f._addrs
+        rows_p[2 * k] = a[0]
+        rows_p[2 * k + 1] = a[1]
+        ns[k] = f.n
+        if f._pending_bind is not None:
+            half = f.n // 2
+            buf = np.empty((2, half, 4), dtype=np.uint64)
+            ba = buf.ctypes.data
+            outs_p[2 * k] = ba
+            outs_p[2 * k + 1] = ba + half * 32
+            binds[k] = 1
+            newbufs.append((buf, ba, ba + half * 32))
+        else:
+            outs_p[2 * k] = _DUMMY_ADDR
+            outs_p[2 * k + 1] = _DUMMY_ADDR
+            binds[k] = 0
+            newbufs.append(None)
+    out = np.empty((M, 2, 4), dtype=np.uint64)
+    _load().frv_pair_fleet(rows_p.ctypes.data, outs_p.ctypes.data,
+                           ns.ctypes.data, binds.ctypes.data, M,
+                           _fr_addr_cached(c_prev), out.ctypes.data)
+    for k, f in enumerate(cands):
+        nb = newbufs[k]
+        if nb is not None:
+            buf, a0, a1 = nb
+            f._pending_bind = None
+            f._rows = [buf[0], buf[1]]
+            f._addrs = [a0, a1]
+            f._ptrs = None
+            f._rows_shared = False
+            f.n //= 2
+        f._preset_q = FrArray(out[k])
 
 
 def i64_dot_factored(ints: np.ndarray, r_hi, r_lo) -> Fr:

@@ -385,6 +385,33 @@ def _gruen_fleet(instances, remaining: int) -> None:
     frvec.gruen1_fleet(cands, c_prev if c_prev is not None else Fr.zero())
 
 
+def _pair_fleet(instances, remaining: int) -> None:
+    """Precompute ALL two-row product-term round messages of this batched
+    round in one C call (frv_pair_fleet) — the per-node chunk-table read
+    checks are ~2,400 tiny 4-round FusedInstances per bench prove whose
+    per-instance kernel launches were pure dispatch overhead."""
+    if not frvec.available():
+        return
+    cands = []
+    c_prev = None
+    for inst in instances:
+        if remaining > inst.num_rounds():
+            continue
+        f = getattr(inst, "_rows_fused", None)
+        if (f is None or not f._pair1 or f._preset_q is not None
+                or getattr(inst, "_rows_deg", 0) != 2
+                or getattr(inst, "_eq_offset", 0)):
+            continue
+        if f.n > 8192 or f.n < 2:
+            continue
+        if f._pending_bind is not None:
+            c_prev = f._pending_bind
+        cands.append(f)
+    if len(cands) < 2:
+        return
+    frvec.pair_fleet(cands, c_prev if c_prev is not None else Fr.zero())
+
+
 class _RoundCtx:
     """Per-round batching context: limb-native (2 C calls/round via
     frvec.RoundBatch — the accumulate and the challenge evaluation) when
@@ -532,6 +559,7 @@ class BatchedSumcheck:
         for rnd in range(max_rounds):
             remaining = max_rounds - rnd
             _gruen_fleet(instances, remaining)
+            _pair_fleet(instances, remaining)
             polys = []
             for inst, prev in zip(instances, individual_claims):
                 nr = inst.num_rounds()
@@ -580,6 +608,7 @@ class BatchedSumcheck:
         for rnd in range(start_round, max_rounds):
             remaining = max_rounds - rnd
             _gruen_fleet(instances, remaining)
+            _pair_fleet(instances, remaining)
             polys = []
             for k, (inst, prev) in enumerate(zip(instances, individual_claims)):
                 nr = inst.num_rounds()
