@@ -239,6 +239,74 @@ static void mont_pow(Fp&r, const Fp&a, const Fp&e){
 
 extern "C" {
 
+// Digit-grid construction for the DEVICE Pippenger (tpu/msm.py): cut each
+// 254-bit scalar into c-bit windows and counting-sort the nonzero digit
+// occurrences into per-(window, bucket) lanes. The numpy argsort this
+// replaces modeled at ~3M entries/s was 58% of the modeled device MSM time
+// at 2^18 (round-4 verdict item 3); this is a two-pass parallel counting
+// sort at memory speed. Semantics identical to the Python _grid builder:
+//   lane = w*B + digit, except the top window, whose digit spreads over
+//   S = B >> topbits sub-lanes round-robin by point index; digit 0 drops;
+//   within a lane, slots are point-index ascending per window; empty = -1.
+// Call with grid == NULL to size: returns rows (16-multiple) or -1 when
+// the grid would be pathologically deep (skewed scalars — caller falls
+// back to the host engine). With grid != NULL, fills [rows, W*B] int32.
+int64_t msm_digit_grid(const uint8_t* scalars, int64_t n, int c, int nbits,
+                       int32_t* grid, int64_t rows){
+  const int64_t W = (nbits + c - 1) / c;
+  const int64_t B = (int64_t)1 << c;
+  const int topbits = (int)(nbits - (W - 1) * c);
+  const int64_t S = B >> topbits;
+  const int64_t L = W * B;
+  std::vector<int64_t> counts((size_t)L, 0);
+  const uint64_t cmask = ((uint64_t)1 << c) - 1;
+  #pragma omp parallel for schedule(static)
+  for(int64_t w=0;w<W;w++){
+    int64_t* cw = counts.data() + w*B;
+    const int64_t bit = w*c;
+    const int64_t limb = bit >> 6;
+    const int off = (int)(bit & 63);
+    for(int64_t i=0;i<n;i++){
+      const uint64_t* s = (const uint64_t*)(scalars + i*32);
+      uint64_t v = s[limb] >> off;
+      if(off + c > 64 && limb + 1 < 4) v |= s[limb+1] << (64 - off);
+      uint64_t d = v & cmask;
+      if(!d) continue;
+      if(w == W-1 && S > 1) cw[(int64_t)d * S + (i % S)]++;
+      else cw[d]++;
+    }
+  }
+  int64_t M = 0, total = 0;
+  for(int64_t l=0;l<L;l++){ if(counts[l] > M) M = counts[l]; total += counts[l]; }
+  int64_t avg = total / L; if(avg < 1) avg = 1;
+  if(M > (64 > 32*avg ? 64 : 32*avg)) return -1;
+  int64_t need = ((M + 15) / 16) * 16;
+  if(need < 16) need = 16;
+  if(grid == NULL) return need;
+  if(rows < need) return -1;
+  // parallel fill: each window owns a disjoint lane range
+  memset(grid, 0xFF, sizeof(int32_t) * (size_t)(rows * L));  // -1 fill
+  #pragma omp parallel for schedule(static)
+  for(int64_t w=0;w<W;w++){
+    std::vector<int64_t> fill((size_t)B, 0);
+    const int64_t bit = w*c;
+    const int64_t limb = bit >> 6;
+    const int off = (int)(bit & 63);
+    for(int64_t i=0;i<n;i++){
+      const uint64_t* s = (const uint64_t*)(scalars + i*32);
+      uint64_t v = s[limb] >> off;
+      if(off + c > 64 && limb + 1 < 4) v |= s[limb+1] << (64 - off);
+      uint64_t d = v & cmask;
+      if(!d) continue;
+      int64_t bl = (w == W-1 && S > 1) ? (int64_t)d * S + (i % S) : (int64_t)d;
+      int64_t lane = w*B + bl;
+      grid[fill[bl] * L + lane] = (int32_t)i;
+      fill[bl]++;
+    }
+  }
+  return need;
+}
+
 // points: n * 64 bytes (x,y 32B LE canonical each) -> Montgomery-encoded
 // 64B/point buffer reusable across many msm_g1_pre calls (infinity stays
 // all-zero: mont(0) = 0).

@@ -1,7 +1,8 @@
 """HyperKZG: multilinear PCS via the Gemini univariate transform + KZG.
 
 Protocol mirror of reference joltworks/src/poly/commitment/hyperkzg/mod.rs
-(itself a port of Nova's hyperkzg):
+(itself a port of Nova's hyperkzg), with a Shplonk/BDFG20 single-witness
+batch opening replacing the reference's three per-point KZG witnesses:
 
 open(poly, point):                                     (mod.rs:400-448)
   1. Fold chain: P_0 = poly; P_{i+1}[j] =
@@ -9,14 +10,17 @@ open(poly, point):                                     (mod.rs:400-448)
   2. Commit P_1..P_{ell-1}; absorb commitments; r = challenge_scalar.
   3. u = [r, -r, r^2]; evaluate every P_i as a univariate at each u_j
      (v matrix, absorbed); q = challenge powers; B = sum q^i P_i;
-     W_j = KZG witness of B at u_j; absorb W; squeeze dummy d_0.
+     ONE Shplonk witness W = [(B - r_interp)/Z_S] with
+     Z_S = (X-u_0)(X-u_1)(X-u_2) via three synthetic divisions; absorb W.
 
 verify(C, point, y, proof):                            (mod.rs:451-514)
-  - re-derive r/q/d challenges, check the fold consistency relation
+  - re-derive r/q challenges, check the fold consistency relation
       2 r Y[i+1] = r (1 - x_{ell-1-i}) (ypos_i + yneg_i)
                    + x_{ell-1-i} (ypos_i - yneg_i)
-    with Y = v[2] ++ [y], then one combined pairing check
-      e(L, g2) == e(R, tau_g2).
+    with Y = v[2] ++ [y], then the BDFG20 batch pairing check
+      e(C_B - [r_interp(tau)]_1, g2) == e(W, [Z_S(tau)]_2)
+    with r_interp the degree-2 interpolation of B on {u_0, u_1, u_2}
+    (_kzg_verify_batch; [Z_S(tau)]_2 from the extended G2 powers).
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from ..field.constants import FR_MODULUS
 from ..field.scalar import Fr
 from ..curve.msm import msm
 from ..curve.points import G1
-from .kzg import KZGSRS, eval_as_univariate, kzg_commit, kzg_open_no_rem
+from .kzg import KZGSRS, eval_as_univariate, kzg_commit
 
 
 def _msm_batch_packed(prep, packed: list[bytes]):
@@ -50,10 +54,19 @@ class HyperKZGProof:
                 out += x.to_bytes_le()
         return out
 
+    # wire format (round 4+): ncom u64 | ncom G1 | 1 Shplonk witness G1 |
+    # ell u64 | 3*ell Fr. Pre-round-4 blobs carried 3 witnesses; their
+    # extra witness bytes would misparse as a huge ell, so deserialize
+    # bounds ell instead of failing deep in Fr parsing.
+    MAX_ELL = 64  # 2^64-coefficient polynomials are far beyond any model
+
     @classmethod
     def deserialize(cls, data: bytes, offset: int = 0):
         ncom = int.from_bytes(data[offset:offset + 8], "little")
         offset += 8
+        if ncom > cls.MAX_ELL:
+            raise ValueError(f"HyperKZGProof: implausible fold count {ncom} "
+                             "(pre-Shplonk proof blob?)")
         com = []
         for _ in range(ncom):
             com.append(G1.deserialize(data[offset:offset + 64]))
@@ -64,6 +77,9 @@ class HyperKZGProof:
             offset += 64
         ell = int.from_bytes(data[offset:offset + 8], "little")
         offset += 8
+        if ell > cls.MAX_ELL:
+            raise ValueError(f"HyperKZGProof: implausible ell {ell} "
+                             "(pre-Shplonk proof blob?)")
         v = []
         for _ in range(3):
             row = []
@@ -107,9 +123,21 @@ class HyperKZG:
 
         prep = srs.prepared_bases()
         if native and prep is not None and len(polys) > 1:
-            # all folds exist before any is absorbed: one batched MSM call
+            # all folds exist before any is absorbed: one batched MSM call.
+            # The biggest fold (P_1, n/2 points) optionally rides the
+            # host+device split (tpu/splitmsm.py): the chip's suffix share
+            # is enqueued FIRST so it overlaps the whole host batch.
+            from ..tpu import splitmsm
             packed = [p.canonical().tobytes() for p in polys[1:]]
-            com = _msm_batch_packed(prep, packed)
+            st = splitmsm.start_split(srs, packed[0], len(polys[1]))
+            if st is not None:
+                k = st[2]
+                host = _msm_batch_packed(
+                    prep, [packed[0][: 32 * k]] + packed[1:])
+                com = [splitmsm.finish_split(st, host[0] if k else None)] \
+                    + host[1:]
+            else:
+                com = _msm_batch_packed(prep, packed)
         else:
             com = [kzg_commit(srs, p) for p in polys[1:]]
         transcript.append_points(com)
@@ -146,10 +174,17 @@ class HyperKZG:
         assert u[0] != u[1] and u[0] != u[2] and u[1] != u[2]
         if native and prep is not None:
             from ..field import frvec
+            from ..tpu import splitmsm
             h = b
             for ui in u:
                 h = frvec.syndiv(h, ui)
-            w = [prep.msm_packed(h.canonical().tobytes(), len(h))]
+            # the n-point witness MSM is the single biggest MSM of the
+            # open; host+device split when the measured rates favor it
+            hb = h.canonical().tobytes()
+            wpt = splitmsm.msm_packed_split(srs, hb, len(h))
+            if wpt is None:
+                wpt = prep.msm_packed(hb, len(h))
+            w = [wpt]
         else:
             h = list(b)
             for ui in u:

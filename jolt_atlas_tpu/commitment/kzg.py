@@ -126,10 +126,16 @@ class KZGSRS:
                 # per-engine byte-plan gate (NOT the global min(up,down)
                 # link gate — the MSM engine uploads 32 B/point and
                 # fetches ~100 bytes, so the down-link is irrelevant):
-                # persisted decision first to skip the ~10 s backend init
+                # persisted decision first to skip the ~10 s backend init.
+                # Bases are worth uploading when EITHER the chip alone
+                # beats the host (full engage) or the measured rates make
+                # a concurrent host+device split profitable at the
+                # biggest MSM this SRS can serve (tpu/splitmsm.py).
                 cached = linkcal.cached_msm_decision(prep.n)
-                if cached is not None and not cached[0]:
-                    telemetry.decide("msm", "declined: " + cached[1])
+                n_dev, swhy = linkcal.msm_split_plan(prep.n)
+                if cached is not None and not cached[0] and n_dev == 0:
+                    telemetry.decide("msm", "declined: " + cached[1]
+                                     + "; " + swhy)
                     return None
             from ..tpu import msm as tmsm
             if not tmsm.available():
@@ -143,10 +149,12 @@ class KZGSRS:
                     return None
                 ok, why = linkcal.msm_engine_decision(
                     prep.n, jax, PlanesCtx(FR_MODULUS))
-                if not ok:
-                    telemetry.decide("msm", "declined: " + why)
+                n_dev, swhy = linkcal.msm_split_plan(prep.n)
+                if not ok and n_dev == 0:
+                    telemetry.decide("msm", "declined: " + why + "; " + swhy)
                     return None
-                telemetry.decide("msm", "ENGAGED: " + why)
+                telemetry.decide(
+                    "msm", "ENGAGED: " + (why if ok else swhy))
             else:
                 telemetry.decide("msm", "ENGAGED (forced)")
             self._device = tmsm.DeviceBases(prep.buf.raw, prep.n)
@@ -244,27 +252,7 @@ def kzg_commit(srs: KZGSRS, coeffs) -> G1:
     return msm(srs.g1_powers[: len(scalars)], scalars)
 
 
-def kzg_open_no_rem(srs: KZGSRS, coeffs, u: Fr) -> G1:
-    """Witness W = commit((f(X) - f(u)) / (X - u)) via synthetic division.
 
-    The remainder (= f(u)) does not affect the quotient, so it is never
-    subtracted (reference kzg_batch_open_no_rem, hyperkzg/mod.rs:192).
-    """
-    from ..field import frvec
-    from ..field.frvec import FrArray
-    if isinstance(coeffs, FrArray):
-        return kzg_commit(srs, frvec.syndiv(coeffs, u))
-    n = len(coeffs)
-    q = [0] * (n - 1)
-    acc = 0  # running quotient coefficient (int arithmetic mod r)
-    uv = u.v
-    for i in range(n - 1, 0, -1):
-        acc = (coeffs[i].v + acc * uv) % FR_MODULUS if i < n - 1 else coeffs[i].v
-        q[i - 1] = acc
-    prep = srs.prepared_bases()
-    if prep is not None:
-        return prep.msm(q)
-    return msm(srs.g1_powers[: n - 1], q)
 
 
 def eval_as_univariate(coeffs, u: Fr) -> Fr:

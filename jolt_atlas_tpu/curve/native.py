@@ -82,6 +82,10 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
         lib.bn_pairing_product.restype = None
+        lib.msm_digit_grid.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.msm_digit_grid.restype = ctypes.c_int64
         lib.g2_scalar_mul.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p]

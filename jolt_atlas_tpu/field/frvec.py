@@ -970,7 +970,8 @@ def scatter_add(vals: FrArray, idx: np.ndarray, K: int) -> FrArray:
     return out
 
 
-def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
+def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list,
+                         init: bool = False) -> None:
     """acc[idx_list[j][t]] += gammas[j] for every member j (batched
     one-hot RLC accumulation for the opening-reduction prepare,
     poly/opening.py). Equal-length members (the normal case: a group
@@ -978,8 +979,12 @@ def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
     members carry exactly one position per cycle with position ≡ cycle
     mod T) take the collision-free cycle-partitioned single pass
     (frv_scatter_cycles); mixed lengths fall back to the
-    range-partitioned scan kernel."""
+    range-partitioned scan kernel. ``init=True`` lets the scan kernel
+    fuse the accumulator zero-fill into its thread partitions (acc may be
+    freshly allocated, uninitialized)."""
     if not idx_list:
+        if init:
+            _load().frv_zero(acc.addr(), 4 * len(acc))
         return
     gl = np.ascontiguousarray(np.concatenate(
         [_fr_limbs_cached(g) for g in gammas]))
@@ -992,6 +997,8 @@ def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
         iptrs = (ctypes.POINTER(ctypes.c_int64) * len(parts))(
             *[p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
               for p in parts])
+        if init:
+            _load().frv_zero(acc.addr(), 4 * len(acc))
         _load().frv_scatter_cycles(gl.ctypes.data, len(parts), iptrs, T,
                                    acc.d.ctypes.data)
         return
@@ -999,7 +1006,7 @@ def scatter_const_ranges(acc: FrArray, gammas: list, idx_list: list) -> None:
     np.cumsum([len(p) for p in parts], out=offs[1:])
     idx = np.ascontiguousarray(np.concatenate(parts), dtype=np.int64)
     _load().frv_scatter_const_ranges(gl, offs, len(parts), idx, acc.d,
-                                     len(acc), 0)
+                                     len(acc), 1 if init else 0)
 
 
 def fr_inverse(x) -> "Fr | None":

@@ -117,13 +117,22 @@ class _GroupReductionProver(RowsInstance, SumcheckInstanceProver):
                 acc[: len(f)] = vec.vadd(acc[: len(f)], contrib)
             else:
                 acc = vec.vadd(acc, contrib)
+        init = False
         if acc is None:
-            acc = vec.zeros(n)
+            if native and oh_idx:
+                # all-one-hot group: the scatter kernel fuses the zero
+                # fill into its thread partitions (init=1), skipping a
+                # separate n-element memset pass
+                import numpy as np
+                acc = FrArray(np.empty((n, 4), dtype=np.uint64))
+                init = True
+            else:
+                acc = vec.zeros(n)
         if oh_idx:
             # one parallel range-partitioned pass over all members
             # (csrc frv_scatter_const_ranges): adds the constant gamma_j at
             # every one-hot position, no T-length value arrays materialized
-            frvec.scatter_const_ranges(acc, oh_gammas, oh_idx)
+            frvec.scatter_const_ranges(acc, oh_gammas, oh_idx, init=init)
         self.rlc_fvec = acc
 
     def setup_sumcheck(self):
@@ -280,6 +289,51 @@ class ProverOpeningAccumulator:
             joint = vec.to_fr(joint)
         return proof, r_sumcheck, group_claims, joint
 
+    def prove_batch_opening_zk(self, poly_map, transcript, gens, srs):
+        """Hidden-claim batched opening (zk pipeline): the group claims
+        stay Pedersen-committed (ZkBatchedSumcheck hidden-final mode) and
+        the joint polynomial opens through the masked HyperKZG protocol
+        (subprotocols/zk_opening.py). Returns (zk_sumcheck_proof,
+        zk_joint_opening_proof)."""
+        from ..subprotocols.zk_opening import ZkJointOpening
+        from ..subprotocols.zk_sumcheck import ZkBatchedSumcheck
+        pending = self.sorted_pending()
+        gamma_powers = transcript.challenge_scalar_powers(len(pending))
+        instances = [_GroupReductionProver(m, gamma_powers)
+                     for m in _group_by_point(pending)]
+        for inst in instances:
+            inst.prepare(poly_map)
+            inst.setup_sumcheck()
+        mu_fn = lambda inst, r_slice: eq_eval_scalar(inst.point, r_slice)
+        proof, r_sumcheck, hidden = ZkBatchedSumcheck.prove(
+            instances, gens, self, transcript, hidden_final=mu_fn)
+        g_vals, g_blinds, e_g = hidden
+        delta_powers = transcript.challenge_scalar_powers(len(instances))
+        from ..field.frvec import FrArray
+        max_rounds = len(r_sumcheck)
+        max_len = 1 << max_rounds
+        one = Fr.one()
+        nus = []
+        joint = vec.zeros(max_len)
+        for delta, inst in zip(delta_powers, instances):
+            prefix = one
+            for r in r_sumcheck[: max_rounds - inst.num_rounds()]:
+                prefix = prefix * (one - r)
+            nus.append(delta * prefix)
+            if isinstance(joint, FrArray) and isinstance(inst.rlc_fvec,
+                                                         FrArray):
+                joint.axpy_inplace(delta, inst.rlc_fvec)
+                continue
+            contrib = vec.vscale(inst.rlc_fvec, delta)
+            nn = len(contrib)
+            joint[:nn] = vec.vadd(joint[:nn], contrib)
+        if not isinstance(joint, FrArray):
+            joint = vec.to_fr(joint)
+        zk_open = ZkJointOpening.open(srs, gens, joint, list(r_sumcheck),
+                                      nus, g_vals, g_blinds, e_g,
+                                      transcript)
+        return proof, zk_open
+
 
 class VerifierOpeningAccumulator:
     def __init__(self, proof_claims: dict[OpeningId, Fr]):
@@ -351,3 +405,44 @@ class VerifierOpeningAccumulator:
             for j, _p in members:
                 commit_coeffs[j] = gamma_powers[j] * delta
         return r_sumcheck, joint_claim, commit_coeffs
+
+    def verify_batch_opening_zk(self, proof, zk_open, transcript, gens,
+                                srs, commitments_fn):
+        """Verifier side of prove_batch_opening_zk: runs the hidden-final
+        reduction sumcheck against the proof's E_g commitments, rebuilds
+        the joint commitment homomorphically, and checks the masked
+        HyperKZG opening. Raises on failure."""
+        from ..subprotocols.sumcheck import SumcheckError
+        from ..subprotocols.zk_opening import ZkJointOpening
+        from ..subprotocols.zk_sumcheck import ZkBatchedSumcheck
+        pending = self.sorted_pending()
+        gamma_powers = transcript.challenge_scalar_powers(len(pending))
+        grouped = _group_by_point(pending)
+        instances = [_GroupReductionVerifier(m, gamma_powers)
+                     for m in grouped]
+        if len(zk_open.e_g) != len(instances):
+            raise SumcheckError("hidden group-claim count mismatch")
+        mu_fn = lambda inst, r_slice: eq_eval_scalar(inst.point, r_slice)
+        r_sumcheck = ZkBatchedSumcheck.verify(
+            proof, instances, gens, self, transcript,
+            hidden_final=(zk_open.e_g, mu_fn))
+        delta_powers = transcript.challenge_scalar_powers(len(instances))
+        max_rounds = len(r_sumcheck)
+        one = Fr.one()
+        nus = []
+        for delta, inst in zip(delta_powers, instances):
+            prefix = one
+            for r in r_sumcheck[: max_rounds - inst.num_rounds()]:
+                prefix = prefix * (one - r)
+            nus.append(delta * prefix)
+        commit_coeffs = [Fr.zero()] * len(pending)
+        for delta, members in zip(delta_powers, grouped):
+            for j, _p in members:
+                commit_coeffs[j] = gamma_powers[j] * delta
+        from ..curve.msm import msm as _msm
+        bases = commitments_fn()
+        joint_c = _msm(bases, [c.v for c in commit_coeffs])
+        if not ZkJointOpening.verify(srs, gens, joint_c, list(r_sumcheck),
+                                     nus, zk_open, transcript):
+            raise SumcheckError("zk joint opening failed")
+        return r_sumcheck

@@ -46,7 +46,10 @@ class ONNXProof:
                          for cp in self.batch_opening_proof.compressed_polys)
             else:
                 n += len(self.batch_opening_proof.serialize())
-            n += 64 * (len(self.joint_opening_proof.com)
-                       + len(self.joint_opening_proof.w))
-            n += 32 * sum(len(row) for row in self.joint_opening_proof.v)
+            if hasattr(self.joint_opening_proof, "com"):
+                n += 64 * (len(self.joint_opening_proof.com)
+                           + len(self.joint_opening_proof.w))
+                n += 32 * sum(len(row) for row in self.joint_opening_proof.v)
+            else:  # zk hidden opening / dory
+                n += len(self.joint_opening_proof.serialize())
         return n

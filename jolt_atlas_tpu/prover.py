@@ -138,10 +138,12 @@ class AtlasProver:
         the reference's prove_zk (jolt-atlas-core zk.rs:2081) with the
         documented sigma-protocol deviation (BASELINE.md #3).
 
-        What stays public, exactly as in the reference's zk pipeline:
-        witness PCS commitments, cached opening claims / reduced group
-        claims (aggregate scalars, zk.rs:96-105), and the softmax aux
-        advice vectors (reference TODO #218)."""
+        The reduced group claims and the joint evaluation are HIDDEN
+        (Pedersen-committed; masked HyperKZG opening —
+        subprotocols/zk_opening.py). What stays public, exactly as in
+        the reference's zk pipeline: witness PCS commitments, per-node
+        cached opening claims (aggregate scalars, zk.rs:96-105), and the
+        softmax aux advice vectors (reference TODO #218)."""
         with zk_mode(self.pp.pedersen_gens()):
             return self.prove(inputs)
 
@@ -160,8 +162,25 @@ class AtlasProver:
         # --- witness generation + commitments (sorted CommittedPoly order) ---
         poly_map = {}
         with span("witness_generation"):
-            for node in model.graph.sorted_nodes():
-                polys, chunks = ZOPS.node_witness(node, model, trace)
+            # per-node witness builds are independent (pure reads of the
+            # trace, fresh output dicts) and numpy/C-bound — thread them
+            # across cores, merging results in topological order so the
+            # poly/chunk maps stay deterministic. Plays the role of the
+            # reference's rayon polynomial_map fan-out
+            # (jolt-atlas-core/src/onnx_proof/prover.rs:207-233).
+            nodes = model.graph.sorted_nodes()
+            if len(nodes) >= 8:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
+                workers = min(4, os.cpu_count() or 1)
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    results = list(ex.map(
+                        lambda nd: ZOPS.node_witness(nd, model, trace),
+                        nodes))
+            else:
+                results = [ZOPS.node_witness(nd, model, trace)
+                           for nd in nodes]
+            for polys, chunks in results:
                 poly_map.update(polys)
                 ctx.chunks.update(chunks)
         commitments = {}
@@ -201,11 +220,15 @@ class AtlasProver:
                     commitments[pid] = sc.finalize()
                 if dn_pids:
                     # dense witness commits ride the device Pippenger when
-                    # the link calibration clears it (tpu/msm.py), else the
-                    # host batch-affine engine
+                    # the measured rates say the chip alone wins; when only
+                    # the concurrent host+device split wins, each commit
+                    # splits (tpu/splitmsm.py); else host batch-affine
+                    from .tpu import linkcal
                     dev = self.pp.srs.device_bases()
                     pts = None
-                    if dev is not None:
+                    full = linkcal.cached_msm_decision(
+                        max(len(poly_map[p]) for p in dn_pids))
+                    if dev is not None and full is not None and full[0]:
                         from .curve.native import pack_scalars
                         from .tpu.msm import _GridSkewError
                         packed = [pack_scalars(poly_map[p].ints)
@@ -215,6 +238,17 @@ class AtlasProver:
                                 packed, [len(poly_map[p]) for p in dn_pids])
                         except _GridSkewError:
                             pts = None  # low-entropy window: host path
+                    elif dev is not None:
+                        from .curve.native import pack_scalars
+                        from .tpu import splitmsm
+                        pts = []
+                        for p in dn_pids:
+                            pk = pack_scalars(poly_map[p].ints)
+                            pt = splitmsm.msm_packed_split(
+                                self.pp.srs, pk, len(poly_map[p]))
+                            if pt is None:
+                                pt = prep.msm_packed(pk, len(poly_map[p]))
+                            pts.append(pt)
                     if pts is None:
                         pts = prep.msm_batch(
                             [poly_map[p].ints for p in dn_pids])
@@ -276,18 +310,31 @@ class AtlasProver:
 
         # --- batched opening reduction + joint HyperKZG opening ---
         if accumulator.reductions:
-            with span("batch_opening_reduction"):
-                (bo_proof, r_sumcheck, reduced_claims, joint) = \
-                    accumulator.prove_batch_opening(poly_map, transcript)
-            with span("hyperkzg_open"):
-                if self.pp.pcs == "dory":
-                    from .commitment.dory import DoryPC
-                    ints = _fvec_to_ints(joint)
-                    hk_proof = DoryPC.open(self.pp.pcs_setup, ints,
-                                           list(r_sumcheck), transcript)
-                else:
-                    hk_proof = HyperKZG.open(self.pp.srs, joint,
-                                             list(r_sumcheck), transcript)
+            gens = zk_mode.gens()
+            if gens is not None and self.pp.pcs != "dory":
+                # zk pipeline: group claims stay Pedersen-committed and the
+                # joint polynomial opens through the masked HyperKZG
+                # protocol — no reduced claim is ever serialized in the
+                # clear (subprotocols/zk_opening.py)
+                with span("batch_opening_reduction"):
+                    bo_proof, hk_proof = \
+                        accumulator.prove_batch_opening_zk(
+                            poly_map, transcript, gens, self.pp.srs)
+                reduced_claims = []
+            else:
+                with span("batch_opening_reduction"):
+                    (bo_proof, r_sumcheck, reduced_claims, joint) = \
+                        accumulator.prove_batch_opening(poly_map, transcript)
+                with span("hyperkzg_open"):
+                    if self.pp.pcs == "dory":
+                        from .commitment.dory import DoryPC
+                        ints = _fvec_to_ints(joint)
+                        hk_proof = DoryPC.open(self.pp.pcs_setup, ints,
+                                               list(r_sumcheck), transcript)
+                    else:
+                        hk_proof = HyperKZG.open(self.pp.srs, joint,
+                                                 list(r_sumcheck),
+                                                 transcript)
         else:  # no committed polynomials (pure claim-plumbing graph)
             bo_proof, reduced_claims, hk_proof = None, [], None
 

@@ -172,8 +172,13 @@ def serialize_proof(proof: ONNXProof) -> bytes:
     for c in proof.reduced_claims:
         w.fr(c)
     if proof.batch_opening_proof is not None:
-        w.u8(2 if isinstance(proof.batch_opening_proof, ZkSumcheckProof)
-             else 1)
+        from .subprotocols.zk_opening import ZkJointOpeningProof
+        if isinstance(proof.joint_opening_proof, ZkJointOpeningProof):
+            w.u8(3)  # zk hidden opening (zk sumcheck + masked HyperKZG)
+        elif isinstance(proof.batch_opening_proof, ZkSumcheckProof):
+            w.u8(2)
+        else:
+            w.u8(1)
         w.raw(proof.batch_opening_proof.serialize())
         w.raw(proof.joint_opening_proof.serialize())
     else:
@@ -226,13 +231,16 @@ def deserialize_proof(data: bytes) -> ONNXProof:
         opening_claims[oid] = r.fr()
     reduced_claims = [r.fr() for _ in range(r.u64())]
     tag = r.u8()
-    if tag == 2:
+    if tag in (2, 3):
         bo, r.o = ZkSumcheckProof.deserialize(r.d, r.o)
     elif tag == 1:
         bo, r.o = SumcheckInstanceProof.deserialize(r.d, r.o)
     else:
         bo, hk = None, None
-    if tag:
+    if tag == 3:
+        from .subprotocols.zk_opening import ZkJointOpeningProof
+        hk, r.o = ZkJointOpeningProof.deserialize(r.d, r.o)
+    elif tag:
         if dory:
             from .commitment.dory import DoryProof
             hk, r.o = DoryProof.deserialize(r.d, r.o)

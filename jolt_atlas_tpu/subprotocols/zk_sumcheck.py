@@ -293,7 +293,14 @@ class ZkBatchedSumcheck:
     """
 
     @staticmethod
-    def prove(instances, gens: PedersenGenerators, accumulator, transcript):
+    def prove(instances, gens: PedersenGenerators, accumulator, transcript,
+              hidden_final=None):
+        """hidden_final (optional): a callable mu_fn(instance, r_slice)
+        -> Fr activating hidden-final mode — each instance's final claim
+        g_i stays Pedersen-committed and the last round check becomes the
+        sigma relation g_{n-1}(r) = sum_i coeff_i mu_i g_i (zk_opening.py
+        uses this for the group reduced claims). Returns
+        (proof, r_sumcheck, (g_vals, g_blinds, E_g)) in that mode."""
         from .sumcheck import _mul_pow2
         max_rounds = max(i.num_rounds() for i in instances)
         max_degree = max(i.degree() for i in instances)
@@ -363,6 +370,30 @@ class ZkBatchedSumcheck:
         for inst in instances:
             r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
             inst.cache_openings(accumulator, transcript, r_slice)
+        if hidden_final is not None:
+            g_vals = [inst.final_poly_claim() for inst in instances]
+            g_blinds = [_rand_fr() for _ in instances]
+            e_g = [gens.commit([g], b) for g, b in zip(g_vals, g_blinds)]
+            for c in e_g:
+                transcript.append_point(c)
+            rho = transcript.challenge_scalar()
+            alphas, _t = _aggregate_relations(
+                max_rounds, max_degree, r_sumcheck, input_claim,
+                Fr.zero(), rho)
+            rho_last = rho
+            for _ in range(2 * max_rounds - 2):
+                rho_last = rho_last * rho
+            for inst, c in zip(instances, coeffs):
+                r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+                mu = hidden_final(inst, r_slice)
+                alphas.append(Fr.zero() - rho_last * c * mu)
+            masked, v, responses, blind_responses = sigma_prove(
+                gens, transcript,
+                coeff_vecs + [[e] for e in e_vals] + [[g] for g in g_vals],
+                blinds + e_blinds + g_blinds, alphas)
+            proof = ZkSumcheckProof(round_cs, e_cs, masked, v, responses,
+                                    blind_responses)
+            return proof, r_sumcheck, (g_vals, g_blinds, e_g)
         final_claim = Fr.zero()
         for c, x in zip(coeffs, individual):
             final_claim = final_claim + c * x
@@ -380,7 +411,10 @@ class ZkBatchedSumcheck:
 
     @staticmethod
     def verify(proof: ZkSumcheckProof, instances, gens: PedersenGenerators,
-               accumulator, transcript):
+               accumulator, transcript, hidden_final=None):
+        """hidden_final (optional): (E_g commitments, mu_fn) — see
+        prove(). The instances' expected_output_claim is never computed;
+        the final check rides the sigma relation over E_g instead."""
         from .sumcheck import _mul_pow2
         max_rounds = max(i.num_rounds() for i in instances)
         max_degree = max(i.degree() for i in instances)
@@ -404,6 +438,34 @@ class ZkBatchedSumcheck:
             if rnd < max_rounds - 1:
                 transcript.append_point(proof.e_commitments[rnd])
 
+        if hidden_final is not None:
+            e_g, mu_fn = hidden_final
+            if len(e_g) != len(instances):
+                raise SumcheckError("hidden-final commitment count mismatch")
+            for inst in instances:
+                r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+                inst.cache_openings(accumulator, transcript, r_slice)
+            for c in e_g:
+                transcript.append_point(c)
+            rho = transcript.challenge_scalar()
+            alphas, target = _aggregate_relations(
+                max_rounds, max_degree, r_sumcheck, input_claim,
+                Fr.zero(), rho)
+            rho_last = rho
+            for _ in range(2 * max_rounds - 2):
+                rho_last = rho_last * rho
+            for inst, c in zip(instances, coeffs):
+                r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+                mu = mu_fn(inst, r_slice)
+                alphas.append(Fr.zero() - rho_last * c * mu)
+            widths = ([width] * max_rounds + [1] * len(proof.e_commitments)
+                      + [1] * len(e_g))
+            sigma_verify(gens, transcript,
+                         proof.round_commitments + proof.e_commitments
+                         + list(e_g), widths,
+                         alphas, target, proof.masked_commitments, proof.v,
+                         proof.responses, proof.blind_responses)
+            return r_sumcheck
         expected = Fr.zero()
         for inst, coeff in zip(instances, coeffs):
             r_slice = r_sumcheck[max_rounds - inst.num_rounds():]

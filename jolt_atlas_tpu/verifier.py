@@ -136,6 +136,21 @@ class AtlasVerifier:
             if proof.batch_opening_proof is not None or proof.reduced_claims:
                 raise VerificationError("unexpected batch opening proof")
             return
+        from .subprotocols.zk_opening import ZkJointOpeningProof
+        if isinstance(proof.joint_opening_proof, ZkJointOpeningProof):
+            # zk pipeline: hidden group claims + masked joint opening
+            gens = zk_mode.gens()
+            if gens is None:
+                raise VerificationError("zk opening outside zk mode")
+            if proof.reduced_claims:
+                raise VerificationError(
+                    "zk proof carries cleartext reduced claims")
+            accumulator.verify_batch_opening_zk(
+                proof.batch_opening_proof, proof.joint_opening_proof,
+                transcript, gens, self.pp.srs,
+                lambda: [proof.commitments[p.poly_id]
+                         for p in accumulator.sorted_pending()])
+            return
         r_sumcheck, joint_claim, commit_coeffs = accumulator.verify_batch_opening(
             proof.batch_opening_proof, proof.reduced_claims, transcript)
         bases = [proof.commitments[p.poly_id]

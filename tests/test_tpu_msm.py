@@ -74,3 +74,40 @@ def test_device_msm_matches_host():
     with pytest.raises(tmsm._GridSkewError):
         dev.msm_batch_packed([equal], [n])
     mark_device_tests_warm("msm")  # later runs hit the compile cache -> fast
+
+
+def test_split_msm_matches_host(tmp_path, monkeypatch):
+    """Host-prefix + device-pow2-suffix split (tpu/splitmsm.py) returns
+    exactly the host engine's point; exercises the on-device grid with a
+    nonzero base offset and the calibration-driven fraction plumbing."""
+    import json, time
+    from jolt_atlas_tpu.tpu import linkcal, splitmsm
+    from jolt_atlas_tpu.tpu import msm as tmsm
+    if not tmsm.available():
+        pytest.skip("no jax backend")
+    # fabricated calibration: device ~ host -> split takes half
+    cal = {"backend": "cpu", "up_MBps": 1e4, "down_MBps": 1e4,
+           "round_64k_s": 0.001, "pallas_adds_per_s": 3e7,
+           "host_msm_pps": 1e6, "dev_msm_pps": 1e6, "ts": time.time()}
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "link_calibration.json").write_text(json.dumps(cal))
+    monkeypatch.setenv("JOLT_ATLAS_JAX_CACHE", str(cache))
+    monkeypatch.setenv("JOLT_ATLAS_TPU_MSM", "on")
+    monkeypatch.setattr(linkcal, "_CACHED", None)
+    monkeypatch.setattr(linkcal, "_SPLIT_FLOOR", 64)
+    monkeypatch.setattr(linkcal, "_SPLIT_MIN_SAVE_S", -1.0)
+    monkeypatch.setattr(splitmsm, "_FORCE_C", 4)
+    n = 256
+    srs = KZGSRS.setup(n - 1)
+    prep = srs.prepared_bases()
+    from jolt_atlas_tpu.field.scalar import Fr
+    rng = np.random.default_rng(0x5717)
+    scalars = [Fr(int.from_bytes(rng.bytes(32), "little") % FR_MODULUS)
+               for _ in range(n)]
+    packed = pack_scalars(scalars)
+    got = splitmsm.msm_packed_split(srs, packed, n)
+    assert got is not None, "split did not engage under forced calibration"
+    want = prep.msm_packed(packed, n)
+    assert got == want
+    mark_device_tests_warm("msm")

@@ -132,3 +132,67 @@ def test_zk_softmax_model():
     pp = AtlasPreprocessing.preprocess(model)
     proof, io = AtlasProver(pp).prove_zk([xq])
     assert AtlasVerifier(pp).verify_zk(proof, io)
+
+
+class TestZkHiddenClaims:
+    """Round-5: the reduced group claims and the joint evaluation are
+    hidden (subprotocols/zk_opening.py) — mirrors the claim-hiding the
+    reference gets from BlindFold (blindfold/mod.rs:1-7)."""
+
+    def test_no_cleartext_reduced_claims(self, zk_setup):
+        pp, proof, io, xq = zk_setup
+        from jolt_atlas_tpu.subprotocols.zk_opening import ZkJointOpeningProof
+        assert proof.reduced_claims == []
+        assert isinstance(proof.joint_opening_proof, ZkJointOpeningProof)
+        # the claims a PLAIN prove of the same input produces must not
+        # appear anywhere in the zk blob
+        plain, _ = AtlasProver(pp).prove([xq])
+        assert plain.reduced_claims, "plain prove produced no group claims"
+        blob = serde.serialize_proof(proof)
+        for c in plain.reduced_claims:
+            assert c.to_bytes_le() not in blob
+            assert c.to_bytes_be() not in blob
+
+    def test_mask_tamper_rejected(self, zk_setup):
+        pp, proof, io, _ = zk_setup
+        import copy
+        from jolt_atlas_tpu.curve.points import g1_generator
+        tampered = copy.copy(proof)
+        zo = copy.copy(proof.joint_opening_proof)
+        zo.c_mask = zo.c_mask + g1_generator()
+        tampered.joint_opening_proof = zo
+        assert not AtlasVerifier(pp).verify_zk(tampered, io)
+
+    def test_hidden_claim_commitment_tamper_rejected(self, zk_setup):
+        pp, proof, io, _ = zk_setup
+        import copy
+        from jolt_atlas_tpu.curve.points import g1_generator
+        for field in ("e_m", "d", "w_m", "a_d"):
+            tampered = copy.copy(proof)
+            zo = copy.copy(proof.joint_opening_proof)
+            setattr(zo, field, getattr(zo, field) + g1_generator())
+            tampered.joint_opening_proof = zo
+            assert not AtlasVerifier(pp).verify_zk(tampered, io), field
+        # group-claim commitment
+        tampered = copy.copy(proof)
+        zo = copy.copy(proof.joint_opening_proof)
+        zo.e_g = [zo.e_g[0] + g1_generator()] + zo.e_g[1:]
+        tampered.joint_opening_proof = zo
+        assert not AtlasVerifier(pp).verify_zk(tampered, io)
+
+    def test_masked_eval_tamper_rejected(self, zk_setup):
+        pp, proof, io, _ = zk_setup
+        import copy
+        from jolt_atlas_tpu.field.scalar import Fr
+        tampered = copy.copy(proof)
+        zo = copy.copy(proof.joint_opening_proof)
+        zo.y_k = zo.y_k + Fr.one()
+        tampered.joint_opening_proof = zo
+        assert not AtlasVerifier(pp).verify_zk(tampered, io)
+        # sigma response tamper
+        tampered = copy.copy(proof)
+        zo = copy.copy(proof.joint_opening_proof)
+        zo.z = [list(zv) for zv in zo.z]
+        zo.z[0][0] = zo.z[0][0] + Fr.one()
+        tampered.joint_opening_proof = zo
+        assert not AtlasVerifier(pp).verify_zk(tampered, io)
