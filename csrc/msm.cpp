@@ -11,6 +11,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <omp.h>
 
 #include "mont4.h"
 
@@ -238,6 +239,11 @@ static void mont_pow(Fp&r, const Fp&a, const Fp&e){
 }
 
 extern "C" {
+
+// Thread-count override for the host Pippenger while a device split is
+// in flight: leaving one core free keeps the relay IO threads from
+// starving behind the 4-way OpenMP MSM (tpu/splitmsm.py).
+void msm_set_threads(int n){ omp_set_num_threads(n); }
 
 // Digit-grid construction for the DEVICE Pippenger (tpu/msm.py): cut each
 // 254-bit scalar into c-bit windows and counting-sort the nonzero digit

@@ -131,9 +131,15 @@ class HyperKZG:
             packed = [p.canonical().tobytes() for p in polys[1:]]
             st = splitmsm.start_split(srs, packed[0], len(polys[1]))
             if st is not None:
+                import os
                 k = st[2]
-                host = _msm_batch_packed(
-                    prep, [packed[0][: 32 * k]] + packed[1:])
+                ncpu = os.cpu_count() or 4
+                splitmsm._host_threads(max(1, ncpu - 1))
+                try:
+                    host = _msm_batch_packed(
+                        prep, [packed[0][: 32 * k]] + packed[1:])
+                finally:
+                    splitmsm._host_threads(ncpu)
                 com = [splitmsm.finish_split(st, host[0] if k else None)] \
                     + host[1:]
             else:

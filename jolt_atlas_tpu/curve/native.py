@@ -82,6 +82,8 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
         lib.bn_pairing_product.restype = None
+        lib.msm_set_threads.argtypes = [ctypes.c_int]
+        lib.msm_set_threads.restype = None
         lib.msm_digit_grid.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]

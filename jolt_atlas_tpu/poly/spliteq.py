@@ -72,11 +72,15 @@ class SplitEq:
         point rebuild identical per-round tables otherwise."""
         from ..field import frvec
         key = tuple(x.v for x in point)
-        got = SplitEq._EQ_TABLE_MEMO.get(key)
+        memo = SplitEq._EQ_TABLE_MEMO
+        got = memo.get(key)
         if got is None:
-            if len(SplitEq._EQ_TABLE_MEMO) > 512:
-                SplitEq._EQ_TABLE_MEMO.clear()
-            got = SplitEq._EQ_TABLE_MEMO[key] = frvec.eq_expand(point).d
+            if len(memo) > 4096:
+                # drop the oldest half — a wholesale clear() threw away
+                # every hot per-round table (~4k rebuilds per bench prove)
+                for k in list(memo.keys())[: len(memo) // 2]:
+                    del memo[k]
+            got = memo[key] = frvec.eq_expand(point).d
         return got
 
     def _wlo(self):

@@ -179,10 +179,20 @@ def _measure(jax, FR) -> dict:
     try:
         if cal["pallas_adds_per_s"] > 1e6:
             cal["dev_msm_pps"] = round(_measure_device_msm(jax), 0)
+            # second size point: the engine's FIXED costs (dispatch chain,
+            # sort setup, relay turnaround) don't amortize at small n —
+            # measuring 2^16 too lets the split model fit
+            # dev_time(n) = fixed + n/rate instead of assuming one rate
+            # (the one-point model engaged a 2^16 split that lost ~0.7s
+            # to fixed costs on the relayed deployment)
+            cal["dev_msm_pps_16"] = round(
+                _measure_device_msm(jax, 1 << 16), 0)
         else:
             cal["dev_msm_pps"] = 0.0
+            cal["dev_msm_pps_16"] = 0.0
     except Exception:
         cal["dev_msm_pps"] = 0.0
+        cal["dev_msm_pps_16"] = 0.0
     return cal
 
 
@@ -337,9 +347,31 @@ def _model_msm(n_points: int, cal: dict) -> tuple[bool, str]:
 
 
 # minimum savings (seconds) a split must buy to be worth the dispatch,
-# and the smallest MSM worth splitting at all (both test-overridable)
-_SPLIT_MIN_SAVE_S = 0.05
-_SPLIT_FLOOR = 1 << 17
+# and the smallest MSM worth splitting at all (both test-overridable).
+# The margin is deliberately fat: the calibration runs on an idle box,
+# but during a real split the host prefix MSM saturates every core and
+# the relay IO threads contend with it.
+_SPLIT_MIN_SAVE_S = 0.5
+_SPLIT_FLOOR = 1 << 19
+_SPLIT_MIN_DEV = 1 << 15  # smallest device share worth a dispatch chain
+
+
+def _dev_time_model(cal: dict, n: int):
+    """(seconds, description) for one n-point device MSM from the two
+    measured size points: dev_time(n) = fixed + n/rate."""
+    p18 = cal.get("dev_msm_pps", 0.0)
+    p16 = cal.get("dev_msm_pps_16", 0.0)
+    if not p18:
+        return None, "no measured device MSM rate"
+    t18 = (1 << 18) / p18
+    if p16:
+        t16 = (1 << 16) / p16
+        rate = ((1 << 18) - (1 << 16)) / max(t18 - t16, 1e-3)
+        fixed = max(t18 - (1 << 18) / rate, 0.0)
+    else:
+        rate, fixed = p18, 0.0
+    return fixed + n / rate, f"fixed {fixed:.2f}s + n/{rate/1e3:.0f}k"
+
 
 
 def msm_split_plan(n_points: int) -> tuple[int, str]:
@@ -357,23 +389,29 @@ def msm_split_plan(n_points: int) -> tuple[int, str]:
             return 0, "no fresh calibration"
     except (OSError, ValueError):
         return 0, "no calibration"
-    dev_pps = cal.get("dev_msm_pps", 0.0)
     host_pps = cal.get("host_msm_pps", 0.0)
-    if not dev_pps or not host_pps:
-        return 0, "missing engine rate"
+    if not host_pps:
+        return 0, "missing host engine rate"
     if n_points < _SPLIT_FLOOR:
         return 0, f"below split floor (n=2^{n_points.bit_length()-1})"
-    # balance: n_dev/dev = (n - n_dev)/host  ->  f = dev/(dev + host)
-    f = dev_pps / (dev_pps + host_pps)
-    n_dev = 1 << max(1, int(f * n_points).bit_length() - 1)
-    if n_dev >= n_points:
-        n_dev = n_points // 2
+    # pick the pow2 device share with the best predicted finish time
+    # under the fixed+linear device model, both engines concurrent
     host_only = n_points / host_pps
-    split_t = max((n_points - n_dev) / host_pps, n_dev / dev_pps)
-    if host_only - split_t < _SPLIT_MIN_SAVE_S:
-        return 0, (f"split saves {host_only - split_t:.3f}s < "
-                   f"{_SPLIT_MIN_SAVE_S}s floor")
-    return n_dev, (f"split n_dev=2^{n_dev.bit_length()-1} of "
-                   f"2^{n_points.bit_length()-1} [dev {dev_pps/1e3:.0f}k, "
-                   f"host {host_pps/1e3:.0f}k pts/s; "
-                   f"saves ~{host_only - split_t:.2f}s]")
+    best_nd, best_t = 0, host_only
+    nd = 1 << (n_points.bit_length() - 2)
+    why = ""
+    while nd >= _SPLIT_MIN_DEV:
+        dev_t, desc = _dev_time_model(cal, nd)
+        if dev_t is None:
+            return 0, desc
+        t = max((n_points - nd) / host_pps, dev_t)
+        if t < best_t:
+            best_nd, best_t, why = nd, t, desc
+        nd >>= 1
+    if best_nd == 0 or host_only - best_t < _SPLIT_MIN_SAVE_S:
+        return 0, (f"split saves {host_only - best_t:.3f}s < "
+                   f"{_SPLIT_MIN_SAVE_S}s floor [{why or 'device model'}]")
+    return best_nd, (f"split n_dev=2^{best_nd.bit_length()-1} of "
+                     f"2^{n_points.bit_length()-1} [device {why}, host "
+                     f"{host_pps/1e3:.0f}k pts/s; "
+                     f"saves ~{host_only - best_t:.2f}s]")

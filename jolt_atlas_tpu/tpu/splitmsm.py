@@ -56,6 +56,19 @@ def finish_split(state, host_prefix_pt):
     return dev_pt if host_prefix_pt is None else host_prefix_pt + dev_pt
 
 
+def _host_threads(n: int) -> None:
+    """Cap the host Pippenger's OpenMP threads while device work is in
+    flight (one core stays free for the relay IO threads; without it the
+    4-way MSM starves the link and the 'concurrent' split serializes)."""
+    try:
+        from ..curve import native
+        lib = native._load()
+        if lib is not None:
+            lib.msm_set_threads(n)
+    except Exception:
+        pass
+
+
 def msm_packed_split(srs, packed: bytes, count: int):
     """One MSM of `count` canonical 32-byte-LE scalars against the SRS
     base prefix, host+device split. Returns the affine G1 sum, or None
@@ -66,6 +79,12 @@ def msm_packed_split(srs, packed: bytes, count: int):
     prep = srs.prepared_bases()
     if prep is None:
         return None
+    import os
     k = st[2]
-    host_pt = prep.msm_packed(packed[: 32 * k], k) if k else None
+    ncpu = os.cpu_count() or 4
+    _host_threads(max(1, ncpu - 1))
+    try:
+        host_pt = prep.msm_packed(packed[: 32 * k], k) if k else None
+    finally:
+        _host_threads(ncpu)
     return finish_split(st, host_pt)

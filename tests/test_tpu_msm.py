@@ -88,7 +88,8 @@ def test_split_msm_matches_host(tmp_path, monkeypatch):
     # fabricated calibration: device ~ host -> split takes half
     cal = {"backend": "cpu", "up_MBps": 1e4, "down_MBps": 1e4,
            "round_64k_s": 0.001, "pallas_adds_per_s": 3e7,
-           "host_msm_pps": 1e6, "dev_msm_pps": 1e6, "ts": time.time()}
+           "host_msm_pps": 1e6, "dev_msm_pps": 1e6,
+           "dev_msm_pps_16": 1e6, "ts": time.time()}
     cache = tmp_path / "cache"
     cache.mkdir()
     (cache / "link_calibration.json").write_text(json.dumps(cal))
@@ -96,6 +97,7 @@ def test_split_msm_matches_host(tmp_path, monkeypatch):
     monkeypatch.setenv("JOLT_ATLAS_TPU_MSM", "on")
     monkeypatch.setattr(linkcal, "_CACHED", None)
     monkeypatch.setattr(linkcal, "_SPLIT_FLOOR", 64)
+    monkeypatch.setattr(linkcal, "_SPLIT_MIN_DEV", 64)
     monkeypatch.setattr(linkcal, "_SPLIT_MIN_SAVE_S", -1.0)
     monkeypatch.setattr(splitmsm, "_FORCE_C", 4)
     n = 256
