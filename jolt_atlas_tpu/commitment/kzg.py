@@ -132,7 +132,8 @@ class KZGSRS:
                 # a concurrent host+device split profitable at the
                 # biggest MSM this SRS can serve (tpu/splitmsm.py).
                 cached = linkcal.cached_msm_decision(prep.n)
-                n_dev, swhy = linkcal.msm_split_plan(prep.n)
+                n_dev, swhy = linkcal.msm_split_plan(
+                    prep.n, setup_points=prep.n)
                 if cached is not None and not cached[0] and n_dev == 0:
                     telemetry.decide("msm", "declined: " + cached[1]
                                      + "; " + swhy)
@@ -149,7 +150,8 @@ class KZGSRS:
                     return None
                 ok, why = linkcal.msm_engine_decision(
                     prep.n, jax, PlanesCtx(FR_MODULUS))
-                n_dev, swhy = linkcal.msm_split_plan(prep.n)
+                n_dev, swhy = linkcal.msm_split_plan(
+                    prep.n, setup_points=prep.n)
                 if not ok and n_dev == 0:
                     telemetry.decide("msm", "declined: " + why + "; " + swhy)
                     return None

@@ -74,6 +74,11 @@ _SUMCHECK_TAGS = [
 ]
 
 
+_COMMITTED_IDX = {t: i for i, t in enumerate(_COMMITTED_TAGS)}
+_VIRTUAL_IDX = {t: i for i, t in enumerate(_VIRTUAL_TAGS)}
+_SUMCHECK_IDX = {t: i for i, t in enumerate(_SUMCHECK_TAGS)}
+
+
 @dataclass(frozen=True, order=True)
 class _TaggedId:
     tag_index: int
@@ -89,26 +94,44 @@ class _TaggedId:
 
 class CommittedPoly(_TaggedId):
     _TAGS = _COMMITTED_TAGS
+    _MEMO: dict = {}
 
     @classmethod
     def make(cls, tag: str, *payload) -> "CommittedPoly":
-        return cls(_COMMITTED_TAGS.index(tag), tuple(payload))
+        # interned: ids are immutable and recur thousands of times per
+        # prove/verify (frozen-dataclass construction was a measured
+        # verifier hotspot)
+        got = cls._MEMO.get((tag, payload))
+        if got is None:
+            got = cls._MEMO[(tag, payload)] = cls(_COMMITTED_IDX[tag],
+                                                  tuple(payload))
+        return got
 
 
 class VirtualPoly(_TaggedId):
     _TAGS = _VIRTUAL_TAGS
+    _MEMO: dict = {}
 
     @classmethod
     def make(cls, tag: str, *payload) -> "VirtualPoly":
-        return cls(_VIRTUAL_TAGS.index(tag), tuple(payload))
+        got = cls._MEMO.get((tag, payload))
+        if got is None:
+            got = cls._MEMO[(tag, payload)] = cls(_VIRTUAL_IDX[tag],
+                                                  tuple(payload))
+        return got
 
 
 class SumcheckId(_TaggedId):
     _TAGS = _SUMCHECK_TAGS
+    _MEMO: dict = {}
 
     @classmethod
     def make(cls, tag: str, *payload) -> "SumcheckId":
-        return cls(_SUMCHECK_TAGS.index(tag), tuple(payload))
+        got = cls._MEMO.get((tag, payload))
+        if got is None:
+            got = cls._MEMO[(tag, payload)] = cls(_SUMCHECK_IDX[tag],
+                                                  tuple(payload))
+        return got
 
 
 @dataclass(frozen=True, order=True)

@@ -201,6 +201,22 @@ class AddressReadCheckProver(RowsInstance, SumcheckInstanceProver):
 
 
 _TEVAL_CACHE: dict = {}
+_RKEY_MEMO: dict = {}  # id(r) -> (r, tuple) — r kept alive, id stable
+
+
+def _point_key(r) -> tuple:
+    """Identity-memoized value tuple of a challenge point: the same r
+    list is passed by hundreds of read-check instances per batched
+    sumcheck, and rebuilding the tuple was the verifier's top remaining
+    cost (11.6k rebuilds / 0.15 s per bench verify)."""
+    e = _RKEY_MEMO.get(id(r))
+    if e is not None and e[0] is r:
+        return e[1]
+    if len(_RKEY_MEMO) > 2048:
+        _RKEY_MEMO.clear()
+    t = tuple(x.v for x in r)
+    _RKEY_MEMO[id(r)] = (r, t)
+    return t
 
 
 def _table_mle_eval(spec, r) -> Fr:
@@ -208,7 +224,7 @@ def _table_mle_eval(spec, r) -> Fr:
     sumcheck share the verifier challenge r, so the same (spec, r) pair
     recurs hundreds of times per verify (measured ~0.2 s of redundant
     16-entry evaluates on the bench model)."""
-    key = (spec, tuple(x.v for x in r))
+    key = (spec, _point_key(r))
     got = _TEVAL_CACHE.get(key)
     if got is None:
         if len(_TEVAL_CACHE) > 8192:

@@ -665,8 +665,13 @@ class BatchedSumcheck:
                                                 transcript)
 
         expected = Fr.zero()
+        slices: dict[int, list[Fr]] = {}  # shared per length: downstream
+        # memos key challenge points by identity (onehot._point_key)
         for inst, coeff in zip(instances, coeffs):
-            r_slice = r_sumcheck[max_rounds - inst.num_rounds():]
+            nr = inst.num_rounds()
+            r_slice = slices.get(nr)
+            if r_slice is None:
+                r_slice = slices[nr] = r_sumcheck[max_rounds - nr:]
             inst.cache_openings(accumulator, transcript, r_slice)
             expected = expected + inst.expected_output_claim(accumulator, r_slice) * coeff
 

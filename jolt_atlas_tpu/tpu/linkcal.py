@@ -176,6 +176,8 @@ def _measure(jax, FR) -> dict:
     # the engage/decline decision is backed by a measurement of the real
     # engine, not only a byte model (round-4 verdict item 2). Skipped when
     # the simpler probes already show a hopeless configuration.
+    global _BASE_SETUP_SPPT
+    _BASE_SETUP_SPPT = 0.0
     try:
         if cal["pallas_adds_per_s"] > 1e6:
             cal["dev_msm_pps"] = round(_measure_device_msm(jax), 0)
@@ -193,7 +195,11 @@ def _measure(jax, FR) -> dict:
     except Exception:
         cal["dev_msm_pps"] = 0.0
         cal["dev_msm_pps_16"] = 0.0
+    cal["dev_base_setup_sppt"] = _BASE_SETUP_SPPT
     return cal
+
+
+_BASE_SETUP_SPPT = 0.0
 
 
 def _measure_device_msm(jax, npts: int = 1 << 18) -> float:
@@ -211,7 +217,10 @@ def _measure_device_msm(jax, npts: int = 1 << 18) -> float:
     prep = srs.prepared_bases()
     if prep is None:
         return 0.0
+    t0 = time.time()
     dev = tmsm.DeviceBases(prep.buf.raw, prep.n)
+    global _BASE_SETUP_SPPT
+    _BASE_SETUP_SPPT = (time.time() - t0) / prep.n
     rng = np.random.default_rng(13)
     packed = pack_scalars([
         Fr(int.from_bytes(rng.bytes(32), "little") % FR_MODULUS)
@@ -354,6 +363,13 @@ def _model_msm(n_points: int, cal: dict) -> tuple[bool, str]:
 _SPLIT_MIN_SAVE_S = 0.5
 _SPLIT_FLOOR = 1 << 19
 _SPLIT_MIN_DEV = 1 << 15  # smallest device share worth a dispatch chain
+# Largest device share the fitted fixed+linear model may be TRUSTED for:
+# the on-device grid build sorts W*n keys and XLA's TPU sort is strongly
+# superlinear — measured on the v5e relay: the model extrapolated ~25s
+# for a 2^21 share, the real run took ~700s. Shares beyond the measured
+# calibration sizes are therefore off the table; only a calibration at
+# that size could re-admit them.
+_SPLIT_MAX_DEV = 1 << 18
 
 
 def _dev_time_model(cal: dict, n: int):
@@ -374,7 +390,7 @@ def _dev_time_model(cal: dict, n: int):
 
 
 
-def msm_split_plan(n_points: int) -> tuple[int, str]:
+def msm_split_plan(n_points: int, setup_points: int = 0) -> tuple[int, str]:
     """Heterogeneous host+device split for one big MSM: the device takes
     a power-of-two SUFFIX of n_dev points (pow2 keeps the jit compile-key
     set tiny) sized so both engines finish together; the host runs its
@@ -398,7 +414,7 @@ def msm_split_plan(n_points: int) -> tuple[int, str]:
     # under the fixed+linear device model, both engines concurrent
     host_only = n_points / host_pps
     best_nd, best_t = 0, host_only
-    nd = 1 << (n_points.bit_length() - 2)
+    nd = min(1 << (n_points.bit_length() - 2), _SPLIT_MAX_DEV)
     why = ""
     while nd >= _SPLIT_MIN_DEV:
         dev_t, desc = _dev_time_model(cal, nd)
@@ -408,9 +424,18 @@ def msm_split_plan(n_points: int) -> tuple[int, str]:
         if t < best_t:
             best_nd, best_t, why = nd, t, desc
         nd >>= 1
-    if best_nd == 0 or host_only - best_t < _SPLIT_MIN_SAVE_S:
+    # one-time cost of making the SRS bases device-resident (planes build
+    # + upload), measured per point during calibration and amortized over
+    # a handful of expected split MSMs per prove — a 2^23-base upload
+    # costs ~50s on the relayed deployment, dwarfing capped-share savings
+    need = _SPLIT_MIN_SAVE_S
+    sppt = cal.get("dev_base_setup_sppt", 0.0)
+    if setup_points and sppt:
+        need = need + setup_points * sppt / 3.0
+    if best_nd == 0 or host_only - best_t < need:
         return 0, (f"split saves {host_only - best_t:.3f}s < "
-                   f"{_SPLIT_MIN_SAVE_S}s floor [{why or 'device model'}]")
+                   f"{need:.2f}s floor (incl. base-residency amortization)"
+                   f" [{why or 'device model'}]")
     return best_nd, (f"split n_dev=2^{best_nd.bit_length()-1} of "
                      f"2^{n_points.bit_length()-1} [device {why}, host "
                      f"{host_pps/1e3:.0f}k pts/s; "

@@ -32,8 +32,12 @@ def start_split(srs, packed: bytes, count: int):
     split is not engaged. The caller computes the host prefix MSM (and any
     other host work) while the device runs, then calls finish_split."""
     from . import linkcal, telemetry
-    n_dev, why = linkcal.msm_split_plan(count)
+    resident = getattr(srs, "_device", None) is not None
+    prep_n = srs.prepared_bases().n if srs.prepared_bases() else 0
+    n_dev, why = linkcal.msm_split_plan(
+        count, setup_points=0 if resident else prep_n)
     if not n_dev:
+        telemetry.decide("msm", "declined: " + why)
         return None
     dev = srs.device_bases()
     if dev is None:
