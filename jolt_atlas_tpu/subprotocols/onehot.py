@@ -455,9 +455,16 @@ class ReadRafProver(RowsInstance, SumcheckInstanceProver):
         self.r_cycle = r_cycle
         eq_cycle = eq_evals(r_cycle)
         G = MLPoly(fvec=compute_G(indices.astype(np.int64), eq_cycle, K=K))
-        ident = np.arange(K, dtype=object)
-        val = (vec.as_object(vec.from_ints(table.astype(np.int64)))
-               + gamma.v * ident) % vec.R
+        # val[k] = table[k] + gamma * k, built natively (the object-int
+        # round trip was ~0.3 s/prove across the four 2^16 teleport tables)
+        tbl = vec.from_ints(table.astype(np.int64))
+        from ..field import frvec
+        if isinstance(tbl, frvec.FrArray):
+            ident_f = frvec.FrArray.from_i64(np.arange(K, dtype=np.int64))
+            val = tbl.add(ident_f.scale(gamma))
+        else:
+            ident = np.arange(K, dtype=object)
+            val = (vec.as_object(tbl) + gamma.v * ident) % vec.R
         self._rounds = K.bit_length() - 1
         self.setup_rows([G, MLPoly(fvec=val)], [(Fr.one(), [0, 1])], 2)
 

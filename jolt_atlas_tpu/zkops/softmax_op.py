@@ -243,6 +243,37 @@ class MaxCheckVerifier(SumcheckInstanceVerifier):
         return p_eval * x_claim
 
 
+def _expsum_bound(exp_q, F_n: int, N: int, r_k):
+    """bound[n] = sum_k exp_q[k, n] * eq(r_k, k), natively when possible
+    (the object-int einsum was ~0.1 s/prove at bench scale)."""
+    from ..field import frvec, vec as _vec
+    eq_k = eq_evals(r_k)
+    if isinstance(eq_k, frvec.FrArray):
+        m = np.ascontiguousarray(
+            exp_q.astype(np.int64).reshape(F_n, N).T)
+        return frvec.i64_mat_vec(m, eq_k)
+    eq_o = _vec.as_object(eq_k)
+    eobj = exp_q.astype(object).reshape(F_n, N) % _vec.R
+    return np.einsum("kn,k->n", eobj, eq_o) % _vec.R
+
+
+def _argmax_ppub(argmax_k, F_n: int, N: int, r_k2):
+    """P_pub[k*N + n] = eq(r_k2, k) * [n == argmax_k[k]] — built by
+    scattering Montgomery eq rows at the one-hot positions instead of an
+    object-int broadcast over the full (F_n, N) grid."""
+    from ..field import frvec, vec as _vec
+    eq_k2 = eq_evals(r_k2)
+    am = np.asarray(argmax_k, dtype=np.int64)
+    if isinstance(eq_k2, frvec.FrArray):
+        d = np.zeros((F_n * N, 4), dtype=np.uint64)
+        d[np.arange(F_n, dtype=np.int64) * N + am] = eq_k2.d
+        return frvec.FrArray(d)
+    argind = np.zeros((F_n, N), dtype=np.int64)
+    argind[np.arange(F_n), am] = 1
+    eq_o = _vec.as_object(eq_k2)
+    return ((argind.astype(object) * eq_o[:, None]) % _vec.R).reshape(-1)
+
+
 def _softmax_fams(node_idx, L, chunk_cache):
     def mk(tag):
         return lambda d: CommittedPoly.make(tag, node_idx, d)
@@ -357,9 +388,7 @@ def _prove_softmax(node, ctx, r, out_claim):
     log_n = N.bit_length() - 1
     r_k = ctx.transcript.challenge_vector_optimized(log_f)
     expsum_claim = MLPoly(ints=tr.exp_sum_q.astype(np.int64)).evaluate(r_k)
-    eq_k = vec.as_object(eq_evals(r_k))
-    eobj = tr.exp_q.astype(object).reshape(F_n, N) % vec.R
-    bound = np.einsum("kn,k->n", eobj, eq_k) % vec.R
+    bound = _expsum_bound(tr.exp_q, F_n, N, r_k)
     es = ExpSumProver(node.idx, MLPoly(fvec=bound), expsum_claim, list(r_k))
     esproof, _ = Sumcheck.prove(es, ctx.accumulator, ctx.transcript)
     ctx.proofs[(node.idx, "ExpSum")] = esproof
@@ -367,11 +396,8 @@ def _prove_softmax(node, ctx, r, out_claim):
     # max check: max_pub(r_k2) = sum_j eq(r_k2,k) argind x
     r_k2 = ctx.transcript.challenge_vector_optimized(log_f)
     max_claim = MLPoly(ints=tr.max_k.astype(np.int64)).evaluate(r_k2)
-    argind = np.zeros((F_n, N), dtype=np.int64)
-    argind[np.arange(F_n), tr.argmax_k] = 1
-    eq_k2 = vec.as_object(eq_evals(r_k2))
-    P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
-    mc = MaxCheckProver(node.idx, MLPoly(fvec=P_pub.reshape(-1)),
+    P_pub = _argmax_ppub(tr.argmax_k, F_n, N, r_k2)
+    mc = MaxCheckProver(node.idx, MLPoly(fvec=P_pub),
                         MLPoly(ints=padded_flat(x_arr).astype(np.int64)),
                         max_claim, 2, node.inputs[0])
     mcproof, _ = Sumcheck.prove(mc, ctx.accumulator, ctx.transcript)
@@ -490,12 +516,9 @@ def _verify_softmax(node, ctx, r, out_claim):
 
     r_k2 = ctx.transcript.challenge_vector_optimized(log_f)
     max_claim = MLPoly(ints=aux["max_k"].astype(np.int64)).evaluate(r_k2)
-    argind = np.zeros((F_n, N), dtype=np.int64)
-    argind[np.arange(F_n), aux["argmax_k"].astype(np.int64)] = 1
-    eq_k2 = vec.as_object(eq_evals(r_k2))
-    P_pub = (argind.astype(object) * eq_k2[:, None]) % vec.R
+    P_pub = _argmax_ppub(aux["argmax_k"].astype(np.int64), F_n, N, r_k2)
     mc = MaxCheckVerifier(node.idx, log_f + log_n, max_claim, 2,
-                          node.inputs[0], P_pub.reshape(-1))
+                          node.inputs[0], P_pub)
     Sumcheck.verify(ctx.proofs[(node.idx, "MaxCheck")], mc,
                     ctx.accumulator, ctx.transcript)
 
