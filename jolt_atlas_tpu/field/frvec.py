@@ -168,8 +168,8 @@ def _load():
             ("frv_i64_dot2", [vp, ctypes.c_int64, ctypes.c_int64, vp, vp,
                               vp]),
             ("frv_eval_from_hint", [vp, ctypes.c_int64, vp, vp, vp]),
-            ("frv_gruen1_fleet", [pp, pp, vp, vp, ctypes.c_int64, vp,
-                                  pp, vp, vp, pp, vp, vp]),
+            ("frv_gruen1_fleet", [vp, vp, vp, vp, ctypes.c_int64, vp,
+                                  vp, vp, vp, vp, vp, vp]),
             ("frv_pair_fleet", [vp, vp, vp, vp, ctypes.c_int64, vp, vp]),
             ("frv_axpy_multi", [vp, vp, vp, vp, ctypes.c_int64]),
             ("frv_horner_multi", [vp, vp, ctypes.c_int64, vp, vp]),
@@ -1232,10 +1232,10 @@ def gruen1_fleet(cands, c_prev) -> None:
     it for the instance's next round_points call. `cands` is a list of
     (GruenInstance, (whi, whi_shift, wlo, log_wlo)) pairs."""
     K = len(cands)
-    rows_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
-    outs_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
-    whis_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
-    wlos_p = (ctypes.POINTER(ctypes.c_uint64) * K)()
+    rows_p = np.empty(K, dtype=np.uintp)
+    outs_p = np.empty(K, dtype=np.uintp)
+    whis_p = np.empty(K, dtype=np.uintp)
+    wlos_p = np.empty(K, dtype=np.uintp)
     ns = np.empty(K, dtype=np.int64)
     binds = np.empty(K, dtype=np.int64)
     whi_ns = np.empty(K, dtype=np.int64)
@@ -1244,41 +1244,44 @@ def gruen1_fleet(cands, c_prev) -> None:
     keep = []  # buffers that must outlive the call
     new_rows = []
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    dummy = _DUMMY_U64.ctypes.data_as(u64p)
     for k, (g, (whi, shift, wlo, log_wlo)) in enumerate(cands):
         row = g._rows[0]
-        rows_p[k] = row.ctypes.data_as(u64p)
+        rows_p[k] = row.ctypes.data
         if g._pending_bind is not None:
             half = g.n // 2
             ob = np.empty((half, 4), dtype=np.uint64)
-            outs_p[k] = ob.ctypes.data_as(u64p)
+            outs_p[k] = ob.ctypes.data
             binds[k] = 1
             new_rows.append(ob)
         else:
-            outs_p[k] = dummy
+            outs_p[k] = _DUMMY_ADDR
             binds[k] = 0
             new_rows.append(None)
         ns[k] = g.n
-        whi_a = _c(whi) if whi is not None else _DUMMY_U64
-        whis_p[k] = whi_a.ctypes.data_as(u64p)
-        whi_ns[k] = len(whi_a) if whi is not None else 1
+        whis_p[k] = _np_addr(whi) if whi is not None else _DUMMY_ADDR
+        whi_ns[k] = len(whi) if whi is not None else 1
         shifts[k] = shift
-        wlo_a = _c(wlo) if wlo is not None else _DUMMY_U64
-        wlos_p[k] = wlo_a.ctypes.data_as(u64p)
+        wlos_p[k] = _np_addr(wlo) if wlo is not None else _DUMMY_ADDR
         logls[k] = log_wlo
-        keep.append((row, whi_a, wlo_a))
+        keep.append(row)
     out = np.empty((K, 4), dtype=np.uint64)
-    _load().frv_gruen1_fleet(rows_p, outs_p, ns.ctypes.data,
+    _load().frv_gruen1_fleet(rows_p.ctypes.data, outs_p.ctypes.data,
+                             ns.ctypes.data,
                              binds.ctypes.data, K,
                              _fr_addr_cached(c_prev),
-                             whis_p, whi_ns.ctypes.data, shifts.ctypes.data,
-                             wlos_p, logls.ctypes.data, out.ctypes.data)
+                             whis_p.ctypes.data, whi_ns.ctypes.data,
+                             shifts.ctypes.data,
+                             wlos_p.ctypes.data, logls.ctypes.data,
+                             out.ctypes.data)
     for k, (g, _) in enumerate(cands):
         if binds[k]:
             ob = new_rows[k]
             g._pending_bind = None
             g._rows = [ob]
-            g._ptrs = (u64p * 1)(ob.ctypes.data_as(u64p))
+            p1 = (u64p * 1)()
+            ctypes.cast(p1, ctypes.POINTER(ctypes.c_uint64))[0] = \
+                outs_p[k]
+            g._ptrs = p1
             g._rows_shared = False
             g.n //= 2
         g._preset_q = FrArray(np.ascontiguousarray(out[k:k + 1]))
