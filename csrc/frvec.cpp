@@ -1984,6 +1984,43 @@ void frv_onehot_qev(const i64* const* idx, i64 D, i64 T,
   std::vector<Fr4> Gbuf((size_t)(D*K), Fr4{{0,0,0,0}});
   Fr4* G = Gbuf.data();
   const bool has_hi = whi_n > 1, has_lo = log_wlo >= 0;
+  // standard split-eq layout (log_wlo == whi_shift <= logT): the whi
+  // factor's index (p >> shift) = c_low*2^(logT-shift) + (j >> shift) is
+  // constant over j-blocks of 2^shift and the wlo index reduces to
+  // j & lomask — so accumulate per-(d, c, block) wlo sums and multiply
+  // by whi ONCE per block: D*K*(T/2^shift) muls instead of D*T (exact
+  // field regrouping, values unchanged).
+  if(has_hi && has_lo && whi_shift == log_wlo && logT >= log_wlo){
+    const i64 nb = T >> log_wlo ? T >> log_wlo : 1;
+    const i64 BS = (i64)1 << log_wlo;
+    #pragma omp parallel if(D*T>PAR_THRESH)
+    {
+      std::vector<Fr4> bbuf((size_t)(D*K*nb), Fr4{{0,0,0,0}});
+      Fr4* bs = bbuf.data();
+      #pragma omp for schedule(static) nowait
+      for(i64 j=0;j<T;j++){
+        Fr4 l; memcpy(l.v, wlo + (j & lomask)*4, 32);
+        const i64 b = j >> log_wlo;
+        for(i64 d=0;d<D;d++){
+          i64 c = idx[d][j];
+          Fr4* slot = bs + (d*K + c)*nb + b;
+          fr_add(*slot, *slot, l);
+        }
+      }
+      // fold the block sums through their whi factors into G
+      #pragma omp critical
+      for(i64 d=0;d<D;d++)
+        for(i64 c=0;c<K;c++)
+          for(i64 b=0;b<nb;b++){
+            Fr4 v = bs[(d*K + c)*nb + b];
+            if(fr_is_zero(v)) continue;
+            i64 p = ((c & bitmask) << logT) + b*BS;
+            Fr4 h; memcpy(h.v, whi + ((p >> whi_shift)&(whi_n-1))*4, 32);
+            Fr4 o; fr_mul(o, v, h);
+            fr_add(G[d*K + c], G[d*K + c], o);
+          }
+    }
+  } else {
   #pragma omp parallel if(D*T>PAR_THRESH)
   {
     std::vector<Fr4> lbuf((size_t)(D*K), Fr4{{0,0,0,0}});
@@ -2011,6 +2048,7 @@ void frv_onehot_qev(const i64* const* idx, i64 D, i64 T,
     }
     #pragma omp critical
     for(i64 i=0;i<D*K;i++) fr_add(G[i], G[i], local[i]);
+  }
   }
   // tail: combine buckets with U, U^2, the address bit, and gammas
   Fr4 q0{{0,0,0,0}}, q2{{0,0,0,0}};
